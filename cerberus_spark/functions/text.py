@@ -1,0 +1,101 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+quality scoring, language ID — all pure Catalyst expressions (regex +
+arithmetic), deterministic, and reproducible in ANSI SQL for the
+oracle.  The reference's string scalar family (DNS label parsing,
+HTTP method/path extraction, internal/utils/converter.go:121-191) maps
+to the same regexp_extract/when machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small fixed stopword inventories (public knowledge) used for both the
+# quality score and the n-gram language-ID heuristic.
+STOPWORDS_EN = ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"]
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+    "es": ["el", "los", "que", "es"],
+}
+
+# BPE-ish tokenization regex: word pieces, numbers, or single
+# punctuation — a public, deterministic approximation of byte-pair
+# pre-tokenizers (GPT-2-style contractions omitted for SQL parity).
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count of trimmed text (0 for empty/blank)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def token_count_bpeish(col: Column) -> Column:
+    """Count of BPE-ish tokens via regexp_count."""
+    return F.regexp_count(col, F.lit(BPEISH_PATTERN))
+
+
+def _word_hits(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(col), F.lit(pat))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """stopword tokens / whitespace tokens (0 when no tokens)."""
+    sw = stopwords or STOPWORDS_EN
+    n = token_count_ws(col)
+    return F.when(n == 0, F.lit(0.0)).otherwise(_word_hits(col, sw) / n)
+
+
+def punct_ratio(col: Column) -> Column:
+    """punctuation chars / total chars (0 for empty)."""
+    n = F.length(col)
+    return F.when((n.isNull()) | (n == 0), F.lit(0.0)).otherwise(
+        F.regexp_count(col, F.lit(r"[^\w\s]")) / n
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic heuristic quality score in [0,1]:
+    0.4·length_ok + 0.3·(1−punct_ratio) + 0.3·min(stopword_ratio·5, 1)
+    where length_ok = 1 if 20 ≤ chars ≤ 20000 else 0.
+
+    Mirrors published quality-filter recipes (length / symbol ratio /
+    stopword presence) in spirit; the exact formula is ours and frozen
+    for reproducibility.
+    """
+    n = F.length(col)
+    length_ok = F.when((n >= 20) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(col)
+    return F.round(
+        F.lit(0.4) * length_ok
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio(col))
+        + F.lit(0.3) * F.least(sw * 5, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """Marker-word language ID: pick the language with the most marker
+    hits; ties and zero-hit rows -> 'und'.  First-match-wins via an
+    ordered when-chain over pairwise comparisons (small fixed domain),
+    exactly reproducible in SQL."""
+    hits = {lang: _word_hits(col, words) for lang, words in LANG_MARKERS.items()}
+    langs = list(LANG_MARKERS)
+    best = None
+    for lang in langs:
+        others = [hits[o] for o in langs if o != lang]
+        cond = (hits[lang] > 0)
+        for o in others:
+            cond = cond & (hits[lang] >= o)
+        # strictly-greater than all earlier langs to make ties -> first
+        # in declaration order deterministic; we instead require >= all
+        # and tiebreak by declaration order via chain ordering
+        arm = F.when(cond, F.lit(lang))
+        best = arm if best is None else best.when(cond, F.lit(lang))
+    return best.otherwise(F.lit("und"))

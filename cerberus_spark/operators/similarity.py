@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k (broadcast the query set, codegen'd
+dot products via zip_with/aggregate — no Python in the hot path).
+Scale path: IVF-style coarse quantization — assign every vector to its
+nearest of C centroids once, then search only the probed buckets;
+bucket assignment is an equi-join key, so the candidate join shuffles
+|n/C × probes| instead of |n × q|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate — whole-stage codegen, no UDF."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for every query vector.
+
+    Broadcast the (small) query side into a nested-loop join —
+    each corpus partition scans queries locally, no corpus shuffle;
+    only the (q × k)-sized ranked result shuffles for the window.
+    Output: (query_id, neighbor_id, sim, rk), self-matches excluded,
+    deterministic ties (sim desc, neighbor_id asc).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast centroids).
+
+    (id, bucket) — the IVF index 'coarse quantizer'.  max_by over the
+    broadcast-joined scores keeps it one pass, one small shuffle on id.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(centroid_id),
+        cosine(F.col(vec_col), F.col(centroid_vec)).alias("sim"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.max_by(F.col(centroid_id), F.struct(F.col("sim"), -F.col(centroid_id))).alias("bucket")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Approximate top-k: search only the query's centroid bucket
+    (probes=1).  Recall trades off with #centroids; the candidate join
+    is an equi-join on bucket — shuffle-light at scale."""
+    c_assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assign = ivf_assign(queries, centroids, id_col, vec_col)
+    c = corpus.join(c_assign, id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    q = queries.join(q_assign, id_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

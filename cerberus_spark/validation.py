@@ -1,0 +1,162 @@
+"""Validation engine: evaluate a compiled rule set over a DataFrame in
+one columnar pass and expose violations / summaries / lineage.
+
+The reference funnels every event through a serialized rule cascade
+under a global mutex (internal/monitor/monitor.go:197-408, mutex at
+:198-199).  Here the whole rule set evaluates as ONE ``select`` inside
+whole-stage codegen, partition-parallel; violation rows are the analog
+of its CommunicationPattern findings (internal/models/types.go:97-108)
+and per-partition summaries are the analog of its periodic stats report
+(monitor.go:514-584) — but deterministic and lossless (we do not port
+its lossy alert channels, monitor.go:391-394).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cerberus_spark.rules import CompiledRuleSet, compile_schema
+
+VIOLATIONS_COL = "_violations"
+PASSED_COL = "_passed"
+
+
+class ValidationResult:
+    """Lazy handle over the annotated DataFrame.
+
+    ``annotated`` = input columns + ``_violations`` (array of
+    struct<field,rule,value>) + ``_passed`` boolean.  Everything else
+    derives lazily; nothing is collected to the driver except
+    histogram-/summary-sized results.
+    """
+
+    def __init__(self, annotated: DataFrame, key_cols: list[str], ruleset: CompiledRuleSet):
+        self.annotated = annotated
+        self.key_cols = key_cols
+        self.ruleset = ruleset
+
+    @property
+    def schema_errors(self) -> list[str]:
+        return self.ruleset.schema_errors
+
+    def violations(self) -> DataFrame:
+        """Normalized violation rows: (*keys, field, rule, value)."""
+        v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+        return (
+            self.annotated.select(*self.key_cols, v)
+            .select(
+                *self.key_cols,
+                F.col("v.field").alias("field"),
+                F.col("v.rule").alias("rule"),
+                F.col("v.value").alias("value"),
+            )
+        )
+
+    def passed(self) -> DataFrame:
+        return self.annotated.filter(F.col(PASSED_COL))
+
+    def failed(self) -> DataFrame:
+        return self.annotated.filter(~F.col(PASSED_COL))
+
+    def summary(self) -> DataFrame:
+        """Global (field, rule) violation counts + grand total rows.
+
+        Analog of the reference's Stats rollup (monitor.go:29-38,
+        :517-529) — a partial-aggregated groupBy, not a driver loop.
+        """
+        return (
+            self.violations()
+            .groupBy("field", "rule")
+            .agg(F.count(F.lit(1)).alias("n_violations"))
+        )
+
+    def metrics(self) -> dict[str, Any]:
+        """Small driver-side scalars for audit records."""
+        row = self.annotated.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.col(PASSED_COL), 1).otherwise(0)).alias("passed"),
+        ).collect()[0]
+        rows = row["rows"] or 0
+        ok = row["passed"] or 0
+        return {"rows": rows, "passed": ok, "failed": rows - ok}
+
+    def partition_summary(self) -> DataFrame:
+        """Per-partition pass/fail + lineage via Arrow-batched
+        ``mapInPandas`` + ``TaskContext.partitionId`` + source file.
+
+        Partition ids alone are plan-dependent, so lineage keys include
+        the stable input file path (min/max seen per partition).
+        """
+        src = self.annotated.withColumn("_file", F.input_file_name()).select(
+            PASSED_COL, "_file"
+        )
+
+        def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+            rows = 0
+            ok = 0
+            files: set[str] = set()
+            for pdf in batches:
+                rows += len(pdf)
+                ok += int(pdf[PASSED_COL].sum())
+                files.update(x for x in pdf["_file"].unique() if x)
+            yield pd.DataFrame(
+                {
+                    "partition_id": [pid],
+                    "files": [sorted(files)],
+                    "rows": [rows],
+                    "n_pass": [ok],
+                    "n_fail": [rows - ok],
+                }
+            )
+
+        return src.mapInPandas(
+            summarize,
+            schema="partition_id int, files array<string>, rows long, n_pass long, n_fail long",
+        )
+
+
+class ValidationSession:
+    """Compile once, validate many DataFrames.
+
+    Entry point analog of the reference's ``TrackEvent`` hot path
+    (cmd/cerberus/main.go:209 -> monitor.go:197) minus the mutex: the
+    rule set is compiled to Column predicates on the driver and shipped
+    inside the plan, never per-row.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def validate(
+        self,
+        df: DataFrame,
+        schema: dict[str, dict[str, Any]],
+        key_cols: list[str] | None = None,
+    ) -> ValidationResult:
+        key_cols = key_cols or []
+        ruleset = compile_schema(schema, df.schema)
+        structs = ruleset.violation_structs()
+        if structs:
+            arr = F.array_compact(F.array(*structs))
+        else:
+            arr = F.array().cast("array<struct<field:string,rule:string,value:string>>")
+        annotated = df.withColumn(VIOLATIONS_COL, arr).withColumn(
+            PASSED_COL, F.size(F.col(VIOLATIONS_COL)) == 0
+        )
+        return ValidationResult(annotated, key_cols, ruleset)
+
+
+def validate(
+    df: DataFrame,
+    schema: dict[str, dict[str, Any]],
+    key_cols: list[str] | None = None,
+) -> ValidationResult:
+    """Convenience one-shot validate."""
+    return ValidationSession(df.sparkSession).validate(df, schema, key_cols)
