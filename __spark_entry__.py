@@ -1,38 +1,751 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry pairs a Spark implementation built on ``cerberus_spark``
+with an ANSI-SQL DuckDB oracle over the same parquet tables, so the
+driver's sf0.01 comparison (row-count + schema + order-insensitive
+value-hash) exercises the library's operators end-to-end.  Determinism
+rules: cross-engine hashes are md5-derived (never Spark-native hash
+functions), doubles are rounded at fixed precision on BOTH sides, ranks
+are computed on the rounded values with total tiebreaks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from cerberus_spark.checks.drift import drift_report, categorical_histogram, numeric_histogram
+from cerberus_spark.checks.referential import referential_orphans
+from cerberus_spark.checks.stats import column_profile, numeric_quantiles
+from cerberus_spark.checks.uniqueness import uniqueness_violations
+from cerberus_spark.functions.text import (
+    quality_score_milli,
+    token_count_bpeish,
+    token_count_ws,
+    lang_id,
+)
+from cerberus_spark.operators.classify import Classifier
+from cerberus_spark.operators.dedup import (
+    exact_dedup_groups,
+    fingerprint,
+    minhash_dup_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from cerberus_spark.operators.similarity import cosine_topk
+from cerberus_spark.operators.topk import top_k_per_group
+from cerberus_spark.validation import validate
+
+# ---------------------------------------------------------------------------
+# shared constants (must stay in sync between Spark impls and oracle SQL)
+# ---------------------------------------------------------------------------
+
+ALLOWED_EVENT_TYPES = ["click", "purchase", "signup", "view"]  # 'error' excluded
+VALUE_MIN, VALUE_MAX = 0.05, 400.0
+PROPS_REGEX = '\\{"k": [0-9]{2}\\}'  # two-digit k required; 1-digit -> violation
+DRIFT_SPLIT = "2024-01-08 00:00:00"
+VALUE_EDGES = [0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 200.0, 400.0, 1e18]
+
+EVENT_RULES = {
+    "event_type": {"type": "string", "required": True, "allowed": ALLOWED_EVENT_TYPES},
+    "value": {"type": "number", "min": VALUE_MIN, "max": VALUE_MAX},
+    "props": {"type": "string", "regex": PROPS_REGEX},
+    "ts": {"type": "timestamp", "required": True},
+}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full rule-set validation violations on sf0.001 events."""
+    return q_validate_events(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries — rule engine
+# ---------------------------------------------------------------------------
+
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    res = validate(ev, EVENT_RULES, key_cols=["event_id"])
+    return res.violations().select(
+        "event_id", "field", "rule", "value"
+    )
+
+
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return validate(ev, EVENT_RULES, key_cols=["event_id"]).summary()
+
+
+def q_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins cascade (reference classifier analog C1-C11)."""
+    ev = _t(spark, sf_dir, "events")
+    et, v = F.col("event_type"), F.col("value")
+    label = (
+        Classifier("CUSTOM")
+        .when((et == "purchase") & (v > 100.0), "BIG_PURCHASE")
+        .when(et == "purchase", "PURCHASE")
+        .when(et == "error", "ERROR")
+        .when(et.isin(["click", "view"]) & (v < 1.0), "LOW_ENGAGEMENT")
+        .when(et == "click", "CLICK")
+        .when(et == "view", "VIEW")
+        .when(et == "signup", "SIGNUP")
+        .column()
+    )
+    return ev.select("event_id", label.alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# queries — distributed checks
+# ---------------------------------------------------------------------------
+
+def q_uniqueness_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    return uniqueness_violations(ev, ["user_id", "day"])
+
+
+def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast anti-join vs an inline catalog (error type excluded)."""
+    ev = _t(spark, sf_dir, "events")
+    catalog = spark.createDataFrame(
+        [(t,) for t in ALLOWED_EVENT_TYPES], schema="event_type string"
+    )
+    return referential_orphans(ev, "event_type", catalog, "event_type").select(
+        "event_id", "event_type"
+    )
+
+
+def q_referential_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-FK integrity (expected empty — verifies the join, not the data)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return referential_orphans(li, "l_partkey", part, "p_partkey").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+
+
+def q_column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return column_profile(ev, ["event_type", "user_id", "value", "props"]).select(
+        "column_name", "n_rows", "n_null", "n_distinct", "min_value", "max_value"
+    )
+
+
+def q_quantiles_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return numeric_quantiles(docs, "n_chars", [0.25, 0.5, 0.75, 0.95]).select(
+        "column_name", "p", F.round(F.col("value"), 4).alias("value")
+    )
+
+
+def q_drift_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = categorical_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "event_type")
+    cur = categorical_histogram(ev.filter(F.col("ts") >= DRIFT_SPLIT), "event_type")
+    return drift_report(base, cur, "event_type").select(
+        "column_name",
+        F.round(F.col("kl"), 6).alias("kl"),
+        F.round(F.col("psi"), 6).alias("psi"),
+    )
+
+
+def q_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = numeric_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "value", VALUE_EDGES)
+    cur = numeric_histogram(ev.filter(F.col("ts") >= DRIFT_SPLIT), "value", VALUE_EDGES)
+    return drift_report(base, cur, "value").select(
+        "column_name",
+        F.round(F.col("kl"), 6).alias("kl"),
+        F.round(F.col("psi"), 6).alias("psi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — per-key aggregation / ordering / top-k (reference A1-A7, T1-T2)
+# ---------------------------------------------------------------------------
+
+def q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    order = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max_by(F.col("event_type"), order).alias("last_type"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_error"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchase"),
+        F.count_distinct(F.date_trunc("day", F.col("ts")).cast("date")).alias("n_days"),
+    )
+
+
+def q_first_occurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerberus_spark.operators.dedup import first_occurrence
+
+    ev = _t(spark, sf_dir, "events")
+    return first_occurrence(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts"
+    )
+
+
+def q_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return top_k_per_group(ev, "user_id", "event_type", k=2)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cerberus_spark.operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    sess = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak="event_id")
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("sess_len")
+    )
+    return per_sess.groupBy("user_id").agg(
+        (F.max("session_id") + 1).cast("long").alias("n_sessions"),
+        F.max("sess_len").alias("max_sess_len"),
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("run_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — relational core (joins/aggs over the star schema)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+    return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
+
+
+# ---------------------------------------------------------------------------
+# queries — text analysis
+# ---------------------------------------------------------------------------
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        token_count_ws(t).cast("long").alias("n_tokens_ws"),
+        token_count_bpeish(t).cast("long").alias("n_tokens_bpe"),
+        quality_score_milli(t).alias("quality_milli"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# queries — dedup / similarity
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, shingle_k=3
+    )
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "h_val")
+    )
+
+
+def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, shingle_k=3
+    )
+    return minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.4
+    )
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64(F.col("text"), shingle_k=2).alias("simhash"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    scored = cosine_topk(emb, queries_df, k=3)
+    # rank on ROUNDED sim in both engines so float noise can't flip ranks
+    r = scored.select(
+        "query_id", "neighbor_id", F.round(F.col("sim"), 4).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_events": q_validate_events,
+        "validation_summary": q_validation_summary,
+        "classify_events": q_classify_events,
+        "uniqueness_user_day": q_uniqueness_user_day,
+        "referential_orphans": q_referential_orphans,
+        "referential_lineitem_part": q_referential_lineitem_part,
+        "column_profile_events": q_column_profile_events,
+        "quantiles_doclen": q_quantiles_doclen,
+        "drift_event_type": q_drift_event_type,
+        "drift_value": q_drift_value,
+        "user_profile": q_user_profile,
+        "first_occurrence": q_first_occurrence,
+        "topk_per_user": q_topk_per_user,
+        "sessionize": q_sessionize,
+        "running_total": q_running_total,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect where ANSI is silent; views pre-registered)
+# ---------------------------------------------------------------------------
+
+_ALLOWED_SQL = ", ".join(f"'{t}'" for t in ALLOWED_EVENT_TYPES)
+
+# normalized words / k-shingles of documents.text (must mirror
+# cerberus_spark.operators.dedup.normalize_text / word_shingles)
+_WORDS = "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+
+def _shingles_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+    return (
+        f"CASE WHEN len(w) >= {k} THEN "
+        f"list_distinct(list_transform(range(1, len(w) - {k - 2}), i -> {parts})) "
+        f"ELSE [] END"
+    )
+
+
+_MD5_I64 = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    drift_cat_sql = f"""
+WITH b AS (
+  SELECT event_type AS bin, count(*)::BIGINT AS bc FROM events
+  WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT event_type AS bin, count(*)::BIGINT AS cc FROM events
+  WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), j AS (
+  SELECT coalesce(b.bin, c.bin) AS bin, coalesce(bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+), t AS (SELECT sum(bc) AS bt, sum(cc) AS ct FROM j)
+SELECT 'event_type' AS column_name,
+       round(sum((cc/ct + 1e-9) * ln((cc/ct + 1e-9) / (bc/bt + 1e-9))), 6) AS kl,
+       round(sum(((cc/ct + 1e-9) - (bc/bt + 1e-9)) * ln((cc/ct + 1e-9) / (bc/bt + 1e-9))), 6) AS psi
+FROM j, t
+"""
+    bin_steps = " + ".join(
+        f"CAST(value >= {e} AS INT)" for e in VALUE_EDGES[1:-1]
+    )
+    drift_num_sql = f"""
+WITH binned AS (
+  SELECT 'bin_' || CAST({bin_steps} AS VARCHAR) AS bin, ts FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT bin, count(*)::BIGINT AS bc FROM binned WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT bin, count(*)::BIGINT AS cc FROM binned WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), j AS (
+  SELECT coalesce(b.bin, c.bin) AS bin, coalesce(bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+), t AS (SELECT sum(bc) AS bt, sum(cc) AS ct FROM j)
+SELECT 'value' AS column_name,
+       round(sum((cc/ct + 1e-9) * ln((cc/ct + 1e-9) / (bc/bt + 1e-9))), 6) AS kl,
+       round(sum(((cc/ct + 1e-9) - (bc/bt + 1e-9)) * ln((cc/ct + 1e-9) / (bc/bt + 1e-9))), 6) AS psi
+FROM j, t
+"""
+    sh3 = _shingles_sql(3)
+    sh2 = _shingles_sql(2)
+    h_shingle = _MD5_I64.format(expr="s || '#' || CAST(j AS VARCHAR)")
+    minhash_sig_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0
+)
+SELECT e.doc_id, CAST(j AS INT) AS h_idx, min({h_shingle})::BIGINT AS h_val
+FROM ex e CROSS JOIN range(16) r(j)
+GROUP BY e.doc_id, j
+"""
+    minhash_cand_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0
+), sig AS (
+  SELECT e.doc_id, j AS h_idx, min({h_shingle})::BIGINT AS h_val
+  FROM ex e CROSS JOIN range(16) r(j)
+  GROUP BY e.doc_id, j
+), band AS (
+  SELECT doc_id, h_idx // 4 AS band_idx,
+         string_agg(CAST(h_val AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+  FROM sig GROUP BY doc_id, h_idx // 4
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands_shared
+FROM band a JOIN band b
+  ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+    jaccard_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
+), sized AS (
+  SELECT doc_id, len(sh) AS n_sh, sh FROM docs WHERE len(sh) > 0
+), ex AS (
+  SELECT doc_id, n_sh, unnest(sh) AS s FROM sized
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*)::BIGINT AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(n_shared::DOUBLE / (n_a + n_b - n_shared), 4) AS jaccard
+FROM shared
+WHERE n_shared::DOUBLE / (n_a + n_b - n_shared) >= 0.4
+"""
+    h_plain = _MD5_I64.format(expr="s")
+    simhash_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh2.replace('w', f'({_WORDS})')} AS sh FROM documents
+), hx AS (
+  SELECT doc_id, {h_plain} AS h FROM (SELECT doc_id, unnest(sh) AS s FROM docs)
+), bitsum AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM hx CROSS JOIN range(60) r(b)
+  GROUP BY doc_id, b
+), folded AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
+FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+"""
+    cosine_sql = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, c.embedding) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.embedding, c.embedding))), 4) AS sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
+"""
+    # quality-score pieces (mirror cerberus_spark.functions.text)
+    n_tok_ws = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    sw_pat = "\\b(the|a|of|and|to|in|is|that|it|for)\\b"
+    sw_hits = f"len(regexp_extract_all(lower(text), '{sw_pat}'))"
+    # exact integer quality score (see quality_score_milli): pure
+    # integer floor-div arithmetic — no float rounding divergence
+    n_chars_sql = "length(text)::BIGINT"
+    punct_cnt = "len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT"
+    quality = (
+        f"((CASE WHEN {n_chars_sql} BETWEEN 20 AND 20000 THEN 400 ELSE 0 END)::BIGINT"
+        f" + (CASE WHEN {n_chars_sql} = 0 THEN 300 ELSE"
+        f"     (600 * ({n_chars_sql} - {punct_cnt}) + {n_chars_sql}) // (2 * {n_chars_sql}) END)::BIGINT"
+        f" + (CASE WHEN ({n_tok_ws}) = 0 THEN 0 ELSE"
+        f"     (600 * least(5 * ({sw_hits})::BIGINT, ({n_tok_ws})::BIGINT) + ({n_tok_ws})) // (2 * ({n_tok_ws})) END)::BIGINT"
+        f")::BIGINT"
+    )
+    lang_hits = {
+        "en": "len(regexp_extract_all(lower(text), '\\b(the|and|of|is)\\b'))",
+        "de": "len(regexp_extract_all(lower(text), '\\b(der|die|und|ist)\\b'))",
+        "fr": "len(regexp_extract_all(lower(text), '\\b(le|la|et|est)\\b'))",
+        "es": "len(regexp_extract_all(lower(text), '\\b(el|los|que|es)\\b'))",
+    }
+    langs = list(lang_hits)
+    arms = []
+    for lang in langs:
+        conds = [f"({lang_hits[lang]}) > 0"] + [
+            f"({lang_hits[lang]}) >= ({lang_hits[o]})" for o in langs if o != lang
+        ]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    lang_case = "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+    return {
+        "validate_events": f"""
+SELECT event_id, 'event_type' AS field, 'required' AS rule, CAST(event_type AS VARCHAR) AS value
+  FROM events WHERE event_type IS NULL
+UNION ALL
+SELECT event_id, 'event_type', 'allowed', CAST(event_type AS VARCHAR)
+  FROM events WHERE event_type IS NOT NULL AND event_type NOT IN ({_ALLOWED_SQL})
+UNION ALL
+SELECT event_id, 'value', 'min', CAST(value AS VARCHAR)
+  FROM events WHERE value IS NOT NULL AND value < {VALUE_MIN}
+UNION ALL
+SELECT event_id, 'value', 'max', CAST(value AS VARCHAR)
+  FROM events WHERE value IS NOT NULL AND value > {VALUE_MAX}
+UNION ALL
+SELECT event_id, 'props', 'regex', CAST(props AS VARCHAR)
+  FROM events WHERE props IS NOT NULL AND NOT regexp_full_match(props, '\\{{"k": [0-9]{{2}}\\}}')
+UNION ALL
+SELECT event_id, 'ts', 'required', CAST(ts AS VARCHAR)
+  FROM events WHERE ts IS NULL
+""",
+        "validation_summary": f"""
+WITH v AS (
+  SELECT 'event_type' AS field, 'required' AS rule FROM events WHERE event_type IS NULL
+  UNION ALL
+  SELECT 'event_type', 'allowed' FROM events
+   WHERE event_type IS NOT NULL AND event_type NOT IN ({_ALLOWED_SQL})
+  UNION ALL
+  SELECT 'value', 'min' FROM events WHERE value IS NOT NULL AND value < {VALUE_MIN}
+  UNION ALL
+  SELECT 'value', 'max' FROM events WHERE value IS NOT NULL AND value > {VALUE_MAX}
+  UNION ALL
+  SELECT 'props', 'regex' FROM events
+   WHERE props IS NOT NULL AND NOT regexp_full_match(props, '\\{{"k": [0-9]{{2}}\\}}')
+  UNION ALL
+  SELECT 'ts', 'required' FROM events WHERE ts IS NULL
+)
+SELECT field, rule, count(*)::BIGINT AS n_violations FROM v GROUP BY field, rule
+""",
+        "classify_events": """
+SELECT event_id,
+  CASE WHEN event_type = 'purchase' AND value > 100.0 THEN 'BIG_PURCHASE'
+       WHEN event_type = 'purchase' THEN 'PURCHASE'
+       WHEN event_type = 'error' THEN 'ERROR'
+       WHEN event_type IN ('click','view') AND value < 1.0 THEN 'LOW_ENGAGEMENT'
+       WHEN event_type = 'click' THEN 'CLICK'
+       WHEN event_type = 'view' THEN 'VIEW'
+       WHEN event_type = 'signup' THEN 'SIGNUP'
+       ELSE 'CUSTOM' END AS label
+FROM events
+""",
+        "uniqueness_user_day": """
+SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, count(*)::BIGINT AS n_dup
+FROM events GROUP BY 1, 2 HAVING count(*) > 1
+""",
+        "referential_orphans": f"""
+SELECT event_id, event_type FROM events
+WHERE event_type IS NOT NULL AND event_type NOT IN ({_ALLOWED_SQL})
+""",
+        "referential_lineitem_part": """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem l
+WHERE l_partkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+""",
+        "column_profile_events": """
+SELECT 'event_type' AS column_name, count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+       count(DISTINCT event_type)::BIGINT AS n_distinct,
+       CAST(min(event_type) AS VARCHAR) AS min_value, CAST(max(event_type) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', count(*)::BIGINT, sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT user_id)::BIGINT, CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'value', count(*)::BIGINT, sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT value)::BIGINT, CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'props', count(*)::BIGINT, sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT,
+       count(DISTINCT props)::BIGINT, CAST(min(props) AS VARCHAR), CAST(max(props) AS VARCHAR)
+FROM events
+""",
+        "quantiles_doclen": """
+SELECT 'n_chars' AS column_name, CAST(p AS DOUBLE) AS p, round(CAST(q AS DOUBLE), 4) AS value
+FROM (
+  SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS p,
+         unnest(quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.95])) AS q
+  FROM documents
+)
+""",
+        "drift_event_type": drift_cat_sql,
+        "drift_value": drift_num_sql,
+        "user_profile": """
+WITH last AS (
+  SELECT user_id, event_type AS last_type FROM (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1
+)
+SELECT e.user_id, count(*)::BIGINT AS n_events, min(ts) AS first_seen, max(ts) AS last_seen,
+       round(sum(value), 2) AS total_value, any_value(l.last_type) AS last_type,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       count(DISTINCT CAST(date_trunc('day', ts) AS DATE))::BIGINT AS n_days
+FROM events e JOIN last l ON e.user_id = l.user_id
+GROUP BY e.user_id
+""",
+        "first_occurrence": """
+SELECT user_id, event_type, event_id, ts FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+        "topk_per_user": """
+SELECT user_id, event_type, n, rk FROM (
+  SELECT user_id, event_type, n,
+         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rk
+  FROM (SELECT user_id, event_type, count(*)::BIGINT AS n FROM events GROUP BY 1, 2)
+) WHERE rk <= 2
+""",
+        "sessionize": """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, session_id, count(*)::BIGINT AS sess_len
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, (max(session_id) + 1)::BIGINT AS n_sessions,
+       max(sess_len)::BIGINT AS max_sess_len
+FROM per_sess GROUP BY user_id
+""",
+        "running_total": """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 2) AS run_value
+FROM events WHERE user_id < 10
+""",
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q3_top_revenue_orders": """
+SELECT o_orderkey, revenue, rk FROM (
+  SELECT o_orderkey, revenue,
+         row_number() OVER (ORDER BY revenue DESC, o_orderkey ASC) AS rk
+  FROM (
+    SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+  )
+) WHERE rk <= 10
+""",
+        "doc_quality": f"""
+SELECT doc_id, ({n_tok_ws})::BIGINT AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
+       {quality} AS quality_milli
+FROM documents
+""",
+        "lang_id": f"SELECT doc_id, {lang_case} AS lang_pred FROM documents",
+        "doc_fingerprints": """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+""",
+        "exact_dup_groups": """
+SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+) GROUP BY fp HAVING count(*) > 1
+""",
+        "minhash_signatures": minhash_sig_sql,
+        "minhash_candidates": minhash_cand_sql,
+        "ngram_jaccard": jaccard_sql,
+        "simhash": simhash_sql,
+        "cosine_topk": cosine_sql,
+    }

@@ -80,6 +80,35 @@ def quality_score(col: Column) -> Column:
     )
 
 
+def quality_score_milli(col: Column) -> Column:
+    """Exact-integer quality score in [0, 1000] — engine-portable.
+
+    The double formula in ``quality_score`` lands on round-half
+    boundaries (e.g. 9 stopwords / 80 tokens -> 0.86875) where the last
+    ulp differs between engines; this variant is pure integer
+    arithmetic (floor-div with +half rounding), bit-identical in any
+    SQL engine:
+
+        400*length_ok
+      + floor((600*(chars - punct) + chars) / (2*chars))
+      + floor((600*min(5*sw, ntok) + ntok) / (2*ntok))
+    """
+    n = F.length(col).cast("long")
+    pc = F.regexp_count(col, F.lit(r"[^\w\s]")).cast("long")
+    ntok = token_count_ws(col).cast("long")
+    sw = _word_hits(col, STOPWORDS_EN).cast("long")
+    length_ok = F.when((n >= 20) & (n <= 20000), F.lit(400)).otherwise(F.lit(0)).cast("long")
+    punct_part = F.when(
+        (n.isNull()) | (n == 0), F.lit(300).cast("long")
+    ).otherwise(F.floor((F.lit(600) * (n - pc) + n) / (F.lit(2) * n)).cast("long"))
+    sw_part = F.when(ntok == 0, F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.lit(600) * F.least(F.lit(5) * sw, ntok) + ntok) / (F.lit(2) * ntok)
+        ).cast("long")
+    )
+    return (length_ok + punct_part + sw_part).alias("quality_milli")
+
+
 def lang_id(col: Column) -> Column:
     """Marker-word language ID: pick the language with the most marker
     hits; ties and zero-hit rows -> 'und'.  First-match-wins via an

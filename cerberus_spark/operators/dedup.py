@@ -115,15 +115,17 @@ def minhash_signatures(
     engines, unlike Spark-native hash functions.
     """
     sh = word_shingles(F.col(text_col), shingle_k).alias("sh")
+
+    def hasher(j: int):
+        # single-arg closure: a 2-param lambda would make F.transform
+        # pass the ARRAY INDEX as the second argument, silently
+        # replacing the seed
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 15), 16, 10
+        ).cast("long")
+
     sig_cols = [
-        F.array_min(
-            F.transform(
-                F.col("sh"),
-                lambda s, j=j: F.conv(
-                    F.substring(F.md5(F.concat(s, F.lit(f"#{j}"))), 1, 15), 16, 10
-                ).cast("long"),
-            )
-        ).alias(f"h{j}")
+        F.array_min(F.transform(F.col("sh"), hasher(j))).alias(f"h{j}")
         for j in range(num_hashes)
     ]
     return (

@@ -25,9 +25,12 @@ def sessionize(
     order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
+    # cast through timestamp first: parquet TIMESTAMP_NTZ has no direct
+    # long cast; session TZ is UTC so epoch seconds match the oracle
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    prev_secs = prev_ts.cast("timestamp").cast("long")
     new_sess = F.when(
-        prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_seconds),
+        prev_ts.isNull() | (secs - prev_secs > gap_seconds),
         1,
     ).otherwise(0)
     return df.withColumn(
