@@ -40,7 +40,7 @@ MOD_HOT = 997        # conv_num % MOD_HOT == 0 -> hot conversation (100x turns)
 MOD_ROLE = 611       # (conv*31 + turn) % MOD_ROLE == 0 -> role='critic'
 MOD_NULL_TEXT = 509  # (conv*17 + turn) % MOD_NULL_TEXT == 0 -> text null
 MOD_EMPTY_TEXT = 503  # ... == 1 -> text ''
-MOD_BAD_TOOL = 487   # tool turn with (conv*13 + turn) % MOD_BAD_TOOL == 0 -> ghost tool
+MOD_BAD_TOOL = 97   # tool turn with (conv*13 + turn) % MOD_BAD_TOOL == 0 -> ghost tool
 MOD_STRAY_TOOL = 479  # non-tool turn with (conv*7 + turn) % MOD_STRAY_TOOL == 0 -> stray tool
 MOD_DUP = 499        # conv_num % MOD_DUP == 3 -> turn 1 duplicated
 TOOL_TURN = 11       # (conv + turn) % TOOL_TURN == 3 and turn>0 -> role='tool'

@@ -1,0 +1,128 @@
+"""Distributed checks: uniqueness, referential, stats, drift."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.checks.drift import (
+    EPS,
+    categorical_histogram,
+    drift_report,
+    numeric_histogram,
+)
+from cerberus_spark.checks.referential import referential_orphans, referential_violations
+from cerberus_spark.checks.stats import column_profile, numeric_quantiles
+from cerberus_spark.checks.uniqueness import duplicate_rows, uniqueness_violations
+from cerberus_spark.sources.catalog import tool_catalog
+from cerberus_spark.sources.transcripts import MOD_DUP, generate_transcripts, py_rows
+
+N = 600
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return generate_transcripts(spark, N).cache()
+
+
+def test_uniqueness_exact(spark, transcripts):
+    viol = uniqueness_violations(transcripts, ["conv_id", "turn_idx"]).collect()
+    expected_convs = {f"conv-{c:08d}" for c in range(N) if c % MOD_DUP == 3}
+    assert {r.conv_id for r in viol} == expected_convs
+    assert all(r.turn_idx == 1 and r.n_dup == 2 for r in viol)
+
+
+def test_duplicate_rows(spark, transcripts):
+    dups = duplicate_rows(transcripts, ["conv_id", "turn_idx"], ["ts"])
+    n_dup_keys = uniqueness_violations(transcripts, ["conv_id", "turn_idx"]).count()
+    assert dups.count() == n_dup_keys  # each duplicated key has exactly 1 extra row
+
+
+def test_referential_ghost_tools(spark, transcripts):
+    cat = tool_catalog(spark)
+    orphans = referential_orphans(transcripts, "tool", cat, "tool")
+    got = {r.tool for r in orphans.select("tool").distinct().collect()}
+    assert got == {"ghost_tool"}
+    rows = py_rows(N)
+    expected = sum(1 for r in rows if r["tool"] == "ghost_tool")
+    assert orphans.count() == expected
+
+
+def test_referential_violation_shape(spark, transcripts):
+    cat = tool_catalog(spark)
+    v = referential_violations(transcripts, "tool", cat, "tool", ["conv_id", "turn_idx"])
+    row = v.first()
+    assert row.field == "tool" and row.rule == "referential" and row.value == "ghost_tool"
+
+
+def test_column_profile(spark, transcripts):
+    prof = {r.column_name: r for r in column_profile(transcripts, ["role", "text", "tool"]).collect()}
+    rows = py_rows(N)
+    assert prof["role"].n_rows == len(rows)
+    assert prof["role"].n_null == 0
+    assert prof["text"].n_null == sum(1 for r in rows if r["text"] is None)
+    assert prof["tool"].n_distinct == len({r["tool"] for r in rows if r["tool"] is not None})
+    assert prof["role"].min_value == "assistant"  # lexicographic
+
+
+def test_quantiles_match_python(spark):
+    import statistics
+
+    vals = [float(x * x % 97) for x in range(200)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {r.p: r.value for r in numeric_quantiles(df, "x", [0.5]).collect()}
+    # Spark exact percentile == linear interpolation (same as statistics.quantiles n=2)
+    exp = statistics.quantiles(vals, n=2, method="inclusive")[0]
+    assert abs(got[0.5] - exp) < 1e-9
+
+
+def _py_drift(base: dict, cur: dict):
+    bins = set(base) | set(cur)
+    bt = sum(base.values())
+    ct = sum(cur.values())
+    kl = psi = 0.0
+    for b in bins:
+        p = cur.get(b, 0) / ct + EPS
+        q = base.get(b, 0) / bt + EPS
+        kl += p * math.log(p / q)
+        psi += (p - q) * math.log(p / q)
+    return kl, psi
+
+
+def test_drift_identical_is_zero(spark):
+    df = spark.createDataFrame([("a",)] * 50 + [("b",)] * 50, "x string")
+    h = categorical_histogram(df, "x")
+    rep = drift_report(h, h, "x").collect()[0]
+    assert abs(rep.kl) < 1e-6 and abs(rep.psi) < 1e-6
+
+
+def test_drift_matches_python(spark):
+    base_counts = {"a": 70, "b": 20, "c": 10}
+    cur_counts = {"a": 30, "b": 30, "c": 30, "d": 10}
+    mk = lambda counts: spark.createDataFrame(
+        [(k,) for k, n in counts.items() for _ in range(n)], "x string"
+    )
+    rep = drift_report(
+        categorical_histogram(mk(base_counts), "x"),
+        categorical_histogram(mk(cur_counts), "x"),
+        "x",
+    ).collect()[0]
+    kl, psi = _py_drift(base_counts, cur_counts)
+    assert abs(rep.kl - kl) < 1e-9
+    assert abs(rep.psi - psi) < 1e-9
+    assert rep.psi > 0.1  # this shift must register as drift
+
+
+def test_numeric_histogram_clamps(spark):
+    df = spark.createDataFrame([(-5.0,), (0.5,), (1.5,), (99.0,)], "x double")
+    h = {r.bin: r["count"] for r in numeric_histogram(df, "x", [0.0, 1.0, 2.0, 10.0]).collect()}
+    # edges [0,1,2,10]: interior edges 1.0, 2.0 -> bins 0,1,2; -5 clamps to bin_0, 99 to bin_2
+    assert h == {"bin_0": 2, "bin_1": 1, "bin_2": 1}
+
+
+def test_nulls_binned_separately(spark):
+    df = spark.createDataFrame([("a",), (None,), (None,)], "x string")
+    h = {r.bin: r["count"] for r in categorical_histogram(df, "x").collect()}
+    assert h == {"a": 1, "__null__": 2}

@@ -1,0 +1,91 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_dup_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_hamming,
+    word_shingles,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about spark query engines and shuffles"),
+    (3, "THE  quick   Brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0 (normalized)
+    (4, "short text"),
+    (5, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",), ("",)], "text string")
+    got = [r.sh for r in df.select(word_shingles(F.col("text"), 3).alias("sh")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+    assert got[2] == []
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = exact_dedup_groups(docs_df, "text", "doc_id").collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g.n_docs == 3 and g.keep_id == 0  # docs 0, 3 (normalized), 5
+
+
+def test_minhash_identical_docs_same_sig(spark, docs_df):
+    sigs = {r.doc_id: r.sig for r in minhash_signatures(docs_df, "text", "doc_id", 8).collect()}
+    assert sigs[0] == sigs[3] == sigs[5]
+    assert sigs[0] != sigs[2]
+    # near-dup shares most minhashes
+    shared = sum(1 for a, b in zip(sigs[0], sigs[1]) if a == b)
+    assert shared >= 4
+
+
+def test_minhash_lsh_finds_dups(spark, docs_df):
+    sigs = minhash_signatures(docs_df, "text", "doc_id", 16)
+    cands = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (0, 3) in pairs and (0, 5) in pairs and (3, 5) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_ngram_jaccard(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs_df, "text", "doc_id", k=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 3)] == 1.0 and pairs[(0, 5)] == 1.0
+    assert 0.5 <= pairs[(0, 1)] < 1.0
+    assert (0, 2) not in pairs
+
+
+def test_simhash_distance(spark, docs_df):
+    sh = docs_df.select("doc_id", simhash64(F.col("text")).alias("h"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    d = (
+        a.crossJoin(b)
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("x"),
+            F.col("b.doc_id").alias("y"),
+            simhash_hamming(F.col("a.h"), F.col("b.h")).alias("d"),
+        )
+    )
+    dist = {(r.x, r.y): r.d for r in d.collect()}
+    assert dist[(0, 3)] == 0 and dist[(0, 5)] == 0  # exact dups
+    assert dist[(0, 1)] < dist[(0, 2)]  # near-dup closer than unrelated
+    assert dist[(0, 1)] <= 12

@@ -1,0 +1,101 @@
+"""Multimodal plumbing, checkpoint/resume, skew helpers, streaming."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions.multimodal import extract_features, synthesize_media, FEATURE_DIM
+from cerberus_spark.plans.checkpoint import AuditLog
+from cerberus_spark.plans.skew import salted_repartition, two_stage_agg
+from cerberus_spark.sources.transcripts import generate_transcripts
+from cerberus_spark.streaming.validate_stream import (
+    run_stream_to_memory,
+    streaming_dedup,
+    validate_stream,
+)
+
+
+def test_multimodal_features(spark):
+    media = synthesize_media(spark, 50)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == FEATURE_DIM
+        assert all(0.0 <= v <= 1.0 for v in r.features)
+    # deterministic across runs
+    again = {r.media_id: r.features for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.features for r in rows)
+
+
+def test_audit_resume(spark, tmp_path):
+    log = AuditLog(spark, str(tmp_path / "audit"))
+    units = spark.createDataFrame([(f"f{i}",) for i in range(6)], "unit string")
+    assert log.pending(units).count() == 6
+    done = spark.createDataFrame(
+        [("f0", 10, 9, 1), ("f3", 5, 5, 0)], "unit string, rows long, n_pass long, n_fail long"
+    )
+    log.record(done)
+    pend = {r.unit for r in log.pending(units).collect()}
+    assert pend == {"f1", "f2", "f4", "f5"}
+    # idempotent re-record of f0 leaves pending unchanged
+    log.record(done.filter(F.col("unit") == "f0"))
+    assert {r.unit for r in log.pending(units).collect()} == pend
+
+
+def test_salted_repartition_preserves_rows(spark):
+    df = generate_transcripts(spark, 200)
+    out = salted_repartition(df, "conv_id", n_salts=8, partitions=16)
+    assert out.count() == df.count()
+    assert sorted(out.columns) == sorted(df.columns)
+
+
+def test_two_stage_agg_matches_plain(spark):
+    df = generate_transcripts(spark, 300)
+    plain = {r.conv_id: r.n for r in df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {
+        r.conv_id: r.n
+        for r in two_stage_agg(
+            df,
+            "conv_id",
+            lambda: [F.count(F.lit(1)).alias("pn")],
+            lambda: [F.sum("pn").alias("n")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+RULES = {
+    "role": {"required": True, "allowed": ["system", "user", "assistant", "tool"]},
+    "text": {"required": True},
+}
+
+
+def test_streaming_validation(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    generate_transcripts(spark, 150).write.parquet(src)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    out = run_stream_to_memory(
+        spark, src, schema, lambda s: validate_stream(s, RULES), query_name="vstream"
+    )
+    batch = validate_stream(spark.read.parquet(src), RULES)
+    assert out.count() == batch.count()
+    assert out.filter(~F.col("_passed")).count() == batch.filter(~F.col("_passed")).count()
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "dedup_src")
+    generate_transcripts(spark, 150).write.parquet(src)
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    out = run_stream_to_memory(
+        spark,
+        src,
+        schema,
+        lambda s: streaming_dedup(s, ["conv_id", "turn_idx"]),
+        query_name="dstream",
+    )
+    distinct_keys = (
+        spark.read.parquet(src).select("conv_id", "turn_idx").distinct().count()
+    )
+    assert out.count() == distinct_keys

@@ -1,0 +1,72 @@
+"""Similarity search: brute-force cosine vs numpy; IVF bucketing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.operators.similarity import cosine, cosine_topk, ivf_topk
+
+RNG = np.random.default_rng(42)
+N, DIM = 60, 8
+VECS = RNG.normal(size=(N, DIM)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rows = [(i, VECS[i].tolist()) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def numpy_topk(qi: int, k: int):
+    sims = VECS @ VECS[qi] / (np.linalg.norm(VECS, axis=1) * np.linalg.norm(VECS[qi]))
+    order = sorted(
+        (i for i in range(N) if i != qi), key=lambda i: (-sims[i], i)
+    )
+    return [(i, float(sims[i])) for i in order[:k]]
+
+
+def test_cosine_expr(spark, emb_df):
+    two = emb_df.filter(F.col("vec_id") < 2).collect()
+    a, b = np.array(two[0].embedding), np.array(two[1].embedding)
+    expected = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    got = (
+        emb_df.filter(F.col("vec_id") == 0)
+        .crossJoin(
+            emb_df.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("e2"))
+        )
+        .select(cosine(F.col("embedding"), F.col("e2")).alias("sim"))
+        .first()
+        .sim
+    )
+    assert abs(got - expected) < 1e-6
+
+
+def test_cosine_topk_matches_numpy(spark, emb_df):
+    queries = emb_df.filter(F.col("vec_id") < 3)
+    got = cosine_topk(emb_df, queries, k=5).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rk, r.neighbor_id, r.sim))
+    for qi in range(3):
+        exp = numpy_topk(qi, 5)
+        rows = sorted(by_q[qi])
+        assert [n for _, n, _ in rows] == [n for n, _ in exp]
+        for (_, _, s), (_, es) in zip(rows, exp):
+            assert abs(s - es) < 1e-5
+
+
+def test_ivf_recall_reasonable(spark, emb_df):
+    # centroids = first 4 vectors; probes=1 -> recall < 1 but self-bucket
+    # neighbors must all be genuine bucket members
+    centroids = spark.createDataFrame(
+        [(i, VECS[i].tolist()) for i in range(4)], "centroid_id long, centroid array<float>"
+    )
+    queries = emb_df.filter(F.col("vec_id") < 3)
+    approx = ivf_topk(emb_df, queries, centroids, k=3)
+    got = approx.collect()
+    assert len(got) > 0
+    for r in got:
+        assert r.neighbor_id != r.query_id
+        assert -1.0 <= r.sim <= 1.0

@@ -1,0 +1,87 @@
+"""Text functions vs straightforward Python reimplementations."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions.text import (
+    BPEISH_PATTERN,
+    STOPWORDS_EN,
+    lang_id,
+    punct_ratio,
+    quality_score_milli,
+    token_count_bpeish,
+    token_count_ws,
+)
+
+TEXTS = [
+    "The quick brown fox, jumps! Over 42 lazy dogs.",
+    "der die und ist der hund",
+    "le chat et la maison est grande",
+    "",
+    "   ",
+    "one-token",
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z " * 3,
+]
+
+
+@pytest.fixture(scope="module")
+def text_df(spark):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(TEXTS)], "id long, text string")
+
+
+def py_tok_ws(t: str) -> int:
+    t = t.strip()
+    return 0 if not t else len(re.split(r"\s+", t))
+
+
+def py_tok_bpe(t: str) -> int:
+    return len(re.findall(BPEISH_PATTERN, t))
+
+
+def py_quality_milli(t: str) -> int:
+    n = len(t)
+    pc = len(re.findall(r"[^\w\s]", t))
+    ntok = py_tok_ws(t)
+    sw = len(re.findall(r"\b(" + "|".join(STOPWORDS_EN) + r")\b", t.lower()))
+    length_ok = 400 if 20 <= n <= 20000 else 0
+    punct_part = 300 if n == 0 else (600 * (n - pc) + n) // (2 * n)
+    sw_part = 0 if ntok == 0 else (600 * min(5 * sw, ntok) + ntok) // (2 * ntok)
+    return length_ok + punct_part + sw_part
+
+
+def test_token_counts(spark, text_df):
+    got = {r.id: (r.ws, r.bpe) for r in text_df.select(
+        "id",
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpeish(F.col("text")).alias("bpe"),
+    ).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == (py_tok_ws(t), py_tok_bpe(t)), (i, t)
+
+
+def test_quality_milli(spark, text_df):
+    got = {r.id: r.q for r in text_df.select(
+        "id", quality_score_milli(F.col("text")).alias("q")
+    ).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == py_quality_milli(t), (i, t)
+
+
+def test_punct_ratio_bounds(spark, text_df):
+    vals = [r.p for r in text_df.select(punct_ratio(F.col("text")).alias("p")).collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+
+def test_lang_id(spark, text_df):
+    got = {r.id: r.lang for r in text_df.select(
+        "id", lang_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "fr"
+    assert got[3] == "und"
+    assert got[4] == "und"
