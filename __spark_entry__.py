@@ -37,6 +37,7 @@ from cerberus_spark.operators.dedup import (
 )
 from cerberus_spark.operators.similarity import cosine_topk
 from cerberus_spark.operators.topk import top_k_per_group
+from cerberus_spark.sources.tables import spread
 from cerberus_spark.validation import validate
 
 # ---------------------------------------------------------------------------
@@ -144,7 +145,7 @@ def q_column_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quantiles_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return numeric_quantiles(docs, "n_chars", [0.25, 0.5, 0.75, 0.95]).select(
         "column_name", "p", F.round(F.col("value"), 4).alias("value")
     )
@@ -278,7 +279,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -289,12 +290,12 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
@@ -303,12 +304,12 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return exact_dedup_groups(spread(_t(spark, sf_dir, "documents")), "text", "doc_id")
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, shingle_k=3
+        spread(_t(spark, sf_dir, "documents")), "text", "doc_id", num_hashes=16, shingle_k=3
     )
     return sigs.select(
         "doc_id", F.posexplode("sig").alias("h_idx", "h_val")
@@ -317,20 +318,20 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=16, shingle_k=3
+        spread(_t(spark, sf_dir, "documents")), "text", "doc_id", num_hashes=16, shingle_k=3
     )
     return minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.4
+        spread(_t(spark, sf_dir, "documents")), "text", "doc_id", k=3, threshold=0.4
     )
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash64(F.col("text"), shingle_k=2).alias("simhash"))
 
 
@@ -440,16 +441,22 @@ FROM j, t
 """
     sh3 = _shingles_sql(3)
     sh2 = _shingles_sql(2)
-    h_shingle = _MD5_I64.format(expr="s || '#' || CAST(j AS VARCHAR)")
+    # universal-hash MinHash: one md5 per shingle, then (a_j·h+b_j) mod P
+    # with the SAME coefficients as cerberus_spark.operators.dedup
+    from cerberus_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    coeff_values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_coeffs(16)))
+    h_base = _MD5_I64.format(expr="s") + f" % {MINHASH_P}"
+    h_j = f"(c.a * ({h_base}) + c.b) % {MINHASH_P}"
     minhash_sig_sql = f"""
 WITH docs AS (
   SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
 ), ex AS (
   SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0
 )
-SELECT e.doc_id, CAST(j AS INT) AS h_idx, min({h_shingle})::BIGINT AS h_val
-FROM ex e CROSS JOIN range(16) r(j)
-GROUP BY e.doc_id, j
+SELECT e.doc_id, CAST(c.j AS INT) AS h_idx, min({h_j})::BIGINT AS h_val
+FROM ex e CROSS JOIN (VALUES {coeff_values}) c(j, a, b)
+GROUP BY e.doc_id, c.j
 """
     minhash_cand_sql = f"""
 WITH docs AS (
@@ -457,9 +464,9 @@ WITH docs AS (
 ), ex AS (
   SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0
 ), sig AS (
-  SELECT e.doc_id, j AS h_idx, min({h_shingle})::BIGINT AS h_val
-  FROM ex e CROSS JOIN range(16) r(j)
-  GROUP BY e.doc_id, j
+  SELECT e.doc_id, c.j AS h_idx, min({h_j})::BIGINT AS h_val
+  FROM ex e CROSS JOIN (VALUES {coeff_values}) c(j, a, b)
+  GROUP BY e.doc_id, c.j
 ), band AS (
   SELECT doc_id, h_idx // 4 AS band_idx,
          string_agg(CAST(h_val AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
@@ -475,8 +482,11 @@ WITH docs AS (
   SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
 ), sized AS (
   SELECT doc_id, len(sh) AS n_sh, sh FROM docs WHERE len(sh) > 0
-), ex AS (
+), ex0 AS (
   SELECT doc_id, n_sh, unnest(sh) AS s FROM sized
+), ex AS (
+  -- join on the 63-bit md5 of the shingle, mirroring the Spark plan
+  SELECT doc_id, n_sh, {_MD5_I64.format(expr="s")} AS s FROM ex0
 ), shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*)::BIGINT AS n_shared

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Two workloads:
+  1. HEADLINE — the north-rule job: full rule-set + uniqueness +
+     referential + drift validation of a deterministic synthetic
+     transcript table (conv_id, turn_idx, role, text, tool, ts),
+     sized ~7.15 turns/conv with the conv count scaled to the chosen
+     sf.  Reported as wall seconds (``value``) and turns/sec.
+  2. QUERIES — every ``__spark_entry__.queries()`` entry at
+     ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1),
+     materialized through the noop sink so Catalyst can't prune the
+     measured compute.
+
+Env:  SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+      BENCH_SKIP_QUERIES=1 to run only the headline pipeline.
+
+The two-parallelism scaling evidence (local[8] vs local[32]) lives in
+scripts/scaling_bench.py -> BASELINE.md §BENCH; this file stays
+single-config so per-round numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TMP = os.path.join(REPO, ".bench_tmp")
+
+#: transcript conversations per unit sf (sf0.1 -> 150k convs ~ 1.07M turns)
+CONVS_PER_SF = 1_500_000
+
+
+def parse_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_transcripts(spark, sf: float) -> dict:
+    from cerberus_spark.pipeline import run_full_validation
+    from cerberus_spark.sources.transcripts import generate_transcripts
+
+    n_convs = max(int(CONVS_PER_SF * sf), 1000)
+    path = os.path.join(TMP, f"transcripts_sf{sf}")
+    # generation is outside the timed window: the workload under test is
+    # "validate an existing table", so land the data in parquet first
+    gen = generate_transcripts(spark, n_convs)
+    gen.write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    n_turns = df.count()
+
+    # warm the Python executor pool + broadcast machinery so the timed
+    # window measures steady-state throughput, not one-time JVM/worker
+    # spin-up (on a long-lived cluster these are paid once per executor)
+    import pandas as pd
+
+    def _ident(batches):
+        for b in batches:
+            yield pd.DataFrame({"n": [len(b)]})
+
+    df.limit(32).select("turn_idx").repartition(32).mapInPandas(
+        _ident, schema="n long"
+    ).write.format("noop").mode("overwrite").save()
+
+    t0 = time.perf_counter()
+    run_full_validation(spark, df)
+    wall = time.perf_counter() - t0
+    return {
+        "transcript_convs": n_convs,
+        "transcript_turns": n_turns,
+        "pipeline_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall, 1),
+    }
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entry
+    from cerberus_spark.pipeline import materialize
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    from cerberus_spark.session import get_spark
+
+    sf = parse_sf(SF_DIR)
+    spark = get_spark(parallelism=CPUS, app_name="cerberus_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    head = bench_transcripts(spark, sf)
+    queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark)
+
+    shutil.rmtree(TMP, ignore_errors=True)
+    result = {
+        "metric": "turns validated/sec (full rule-set + uniqueness + referential + drift)",
+        "value": head["pipeline_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "cpus": CPUS,
+        **head,
+        "queries_total_sec": round(sum(queries.values()), 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

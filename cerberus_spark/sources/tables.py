@@ -33,6 +33,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Fan a narrow input across all cores before expression-heavy work.
+
+    A single small parquet file scans as ONE partition, serializing any
+    downstream per-row compute (regex/md5/shingling) onto one core.  On
+    a real 100 TB table input splits >> cores so this is a no-op (we
+    only repartition UP); the round-robin shuffle on a small table is
+    microseconds against minutes of serialized compute.
+    """
+    parallelism = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parallelism:
+        return df
+    return df.repartition(parallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
     for t in TABLES:
         load_table(spark, t, sf_dir).createOrReplaceTempView(t)

@@ -89,3 +89,17 @@ def test_simhash_distance(spark, docs_df):
     assert dist[(0, 3)] == 0 and dist[(0, 5)] == 0  # exact dups
     assert dist[(0, 1)] < dist[(0, 2)]  # near-dup closer than unrelated
     assert dist[(0, 1)] <= 12
+
+
+def test_minhash_arrow_columnar_bit_identical(spark, docs_df):
+    """The Arrow (mapInPandas) and pure-Catalyst MinHash impls must
+    produce byte-identical signatures — same normalize/shingle/md5."""
+    arrow = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(docs_df, "text", "doc_id", 16, impl="arrow").collect()
+    }
+    columnar = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(docs_df, "text", "doc_id", 16, impl="columnar").collect()
+    }
+    assert arrow == columnar and len(arrow) > 0
