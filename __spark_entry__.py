@@ -221,6 +221,56 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 analog: tumbling processing-window aggregates, batch form
+    (reference tickers cmd/cerberus/main.go:124-150 -> hour buckets)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 analog: per-family counters + grand total in one rollup
+    (reference Stats struct, internal/monitor/monitor.go:29-38)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("__total__")).alias("event_type"), "n"
+        )
+    )
+
+
+def q_recent_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/T3 analog: bounded most-recent-3 list per key, deterministic
+    order (reference Targets FIFO, monitor.go:363-368, :579-581 — made
+    deterministic; Go-map arbitrary-k is a non-ported wart)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    top3 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    ordered = F.sort_array(
+        F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+    )
+    return top3.groupBy("user_id").agg(
+        F.array_join(F.transform(ordered, lambda s: s["event_type"]), ",").alias("recent")
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column profiling: L2 norm per embedding (codegen'd
+    aggregate over array<float>, no UDF)."""
+    from cerberus_spark.operators.similarity import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", F.round(l2_norm(F.col("embedding")), 4).alias("l2"))
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
@@ -366,6 +416,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "sessionize": q_sessionize,
         "running_total": q_running_total,
+        "tumbling_counts": q_tumbling_counts,
+        "event_rollup": q_event_rollup,
+        "recent_targets": q_recent_targets,
+        "embedding_norms": q_embedding_norms,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "doc_quality": q_doc_quality,
@@ -711,6 +765,28 @@ SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS run_value
 FROM events WHERE user_id < 10
+""",
+        "tumbling_counts": """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "event_rollup": """
+SELECT coalesce(event_type, '__total__') AS event_type, count(*)::BIGINT AS n
+FROM events GROUP BY ROLLUP(event_type)
+""",
+        "recent_targets": """
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS recent
+FROM r WHERE rn <= 3 GROUP BY user_id
+""",
+        "embedding_norms": """
+SELECT vec_id, round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2
+FROM embeddings
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

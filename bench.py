@@ -74,7 +74,7 @@ def bench_transcripts(spark, sf: float) -> dict:
     ).write.format("noop").mode("overwrite").save()
 
     t0 = time.perf_counter()
-    run_full_validation(spark, df)
+    run_full_validation(spark, df, sink_dir=os.path.join(TMP, "sink"))
     wall = time.perf_counter() - t0
     return {
         "transcript_convs": n_convs,

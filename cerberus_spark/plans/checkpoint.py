@@ -72,12 +72,19 @@ class AuditLog:
         return run_id
 
 
+def normalize_unit(col: F.Column) -> F.Column:
+    """Canonical unit id for a file path.  ``binaryFile`` yields
+    ``file:/p`` while ``input_file_name()`` yields ``file:///p`` —
+    strip the scheme so audit keys match regardless of producer."""
+    return F.regexp_replace(col, "^[a-z0-9]+:/+", "/")
+
+
 def input_units(df_path_glob: str, spark: SparkSession) -> DataFrame:
     """Work units = input files (stable split identifiers)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(df_path_glob)
-        .select(F.col("path").alias("unit"))
+        .select(normalize_unit(F.col("path")).alias("unit"))
     )
     return files

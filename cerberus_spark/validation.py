@@ -84,13 +84,35 @@ class ValidationResult:
         ok = row["passed"] or 0
         return {"rows": rows, "passed": ok, "failed": rows - ok}
 
-    def partition_summary(self) -> DataFrame:
-        """Per-partition pass/fail + lineage via Arrow-batched
-        ``mapInPandas`` + ``TaskContext.partitionId`` + source file.
+    def partition_summary(self, impl: str = "native") -> DataFrame:
+        """Per-partition pass/fail + lineage.
 
         Partition ids alone are plan-dependent, so lineage keys include
-        the stable input file path (min/max seen per partition).
+        the stable input file path(s) seen by each partition.
+
+        - ``impl="native"`` (default): ``groupBy(spark_partition_id())``
+          — stays entirely JVM-side (partial agg per partition is
+          trivially one group), no Arrow transfer of per-row data.
+        - ``impl="arrow"``: ``mapInPandas`` + ``TaskContext.partitionId``
+          — the pattern to reach for when the per-partition computation
+          needs real Python (custom metrics); kept tested as the
+          extension template.  Shipping (bool, file-string) per row
+          through Arrow costs ~80 bytes/row of pipe bandwidth that the
+          native form avoids.
         """
+        if impl == "native":
+            return (
+                self.annotated.select(PASSED_COL)
+                .withColumn("partition_id", F.spark_partition_id())
+                .withColumn("_file", F.input_file_name())
+                .groupBy("partition_id")
+                .agg(
+                    F.sort_array(F.collect_set("_file")).alias("files"),
+                    F.count(F.lit(1)).alias("rows"),
+                    F.sum(F.when(F.col(PASSED_COL), 1).otherwise(0)).alias("n_pass"),
+                )
+                .withColumn("n_fail", F.col("rows") - F.col("n_pass"))
+            )
         src = self.annotated.withColumn("_file", F.input_file_name()).select(
             PASSED_COL, "_file"
         )

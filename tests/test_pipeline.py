@@ -1,0 +1,111 @@
+"""Full-validation pipeline + spark-submit job: golden counts from the
+pure-Python twin, sink layout, and checkpoint-resume."""
+
+from __future__ import annotations
+
+import json
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.pipeline import (
+    TRANSCRIPT_RULES,
+    all_violations,
+    drift_reports,
+    full_validation,
+    run_full_validation,
+)
+from cerberus_spark.rules import python_validate
+from cerberus_spark.sources.catalog import TOOLS
+from cerberus_spark.sources.transcripts import generate_transcripts, py_rows
+
+N_CONVS = 700
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    return generate_transcripts(spark, N_CONVS).cache()
+
+
+@pytest.fixture(scope="module")
+def expected(spark):
+    """Closed-form expected (field, rule) -> count from the Python twin."""
+    rows = py_rows(N_CONVS)
+    counts: Counter = Counter()
+    for r in rows:
+        for f, rule, _v in python_validate(
+            {k: v for k, v in r.items() if not k.startswith("_")}, TRANSCRIPT_RULES
+        ):
+            counts[(f, rule)] += 1
+    # uniqueness: keys seen more than once
+    keys = Counter((r["conv_id"], r["turn_idx"]) for r in rows)
+    counts[("(conv_id,turn_idx)", "unique")] = sum(1 for c in keys.values() if c > 1)
+    # referential: non-null tool absent from catalog
+    valid = {t[0] for t in TOOLS}
+    counts[("tool", "referential")] = sum(
+        1 for r in rows if r["tool"] is not None and r["tool"] not in valid
+    )
+    return counts
+
+
+def test_all_violations_matches_python_twin(spark, transcripts, expected):
+    got = Counter(
+        {
+            (r["field"], r["rule"]): r["n"]
+            for r in all_violations(spark, transcripts)
+            .groupBy("field", "rule")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    )
+    assert got == Counter({k: v for k, v in expected.items() if v})
+
+
+def test_drift_reports_two_rows_finite(spark, transcripts):
+    rows = drift_reports(transcripts).collect()
+    assert sorted(r["column_name"] for r in rows) == ["role", "text_len"]
+    for r in rows:
+        assert r["kl"] is not None and r["kl"] >= 0.0
+        assert r["psi"] is not None
+
+
+def test_run_full_validation_sink_layout(spark, transcripts, tmp_path):
+    sink = str(tmp_path / "sink")
+    run_full_validation(spark, transcripts, sink_dir=sink)
+    sunk = spark.read.parquet(f"{sink}/violations")
+    assert sunk.columns == ["conv_id", "turn_idx", "field", "rule", "value"]
+    assert sunk.count() > 0
+
+
+def test_partition_summary_covers_all_rows(spark, transcripts):
+    outs = full_validation(spark, transcripts)
+    ps = outs["partition_summary"].agg(F.sum("rows").alias("n")).collect()[0]
+    assert ps["n"] == transcripts.count()
+
+
+def test_validate_job_end_to_end_with_resume(spark, transcripts, tmp_path):
+    """Drive jobs/validate_job.py main() twice: first run validates and
+    records the audit; second run anti-joins everything out."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.validate_job import main
+
+    inp = str(tmp_path / "input")
+    transcripts.write.mode("overwrite").parquet(inp)
+    sink = str(tmp_path / "sink")
+    audit = str(tmp_path / "audit")
+
+    rc = main(["--input", inp, "--sink", sink, "--resume", audit])
+    assert rc == 0
+    v = spark.read.parquet(f"{sink}/violations")
+    assert v.count() > 0
+    assert spark.read.parquet(f"{sink}/rule_summary").count() > 0
+
+    rc2 = main(["--input", inp, "--sink", str(tmp_path / "sink2"), "--resume", audit])
+    assert rc2 == 0
+    # second run found no pending files -> wrote nothing
+    import os
+
+    assert not os.path.exists(str(tmp_path / "sink2"))

@@ -85,3 +85,42 @@ def test_lang_id(spark, text_df):
     assert got[2] == "fr"
     assert got[3] == "und"
     assert got[4] == "und"
+
+
+# ---------------------------------------------------------------------------
+# binary label parsing (F1 analog: vectorized byte parsing via Arrow)
+# ---------------------------------------------------------------------------
+
+def test_parse_label_sequence_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from cerberus_spark.functions.binary import (
+        encode_label_sequence,
+        parse_label_sequence,
+    )
+
+    names = ["example.com", "a.b.c.d", "spark.apache.org", "x"]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    out = df.select(
+        "name", parse_label_sequence(encode_label_sequence(F.col("name"))).alias("rt")
+    )
+    assert all(r["rt"] == r["name"] for r in out.collect())
+
+
+def test_parse_label_sequence_malformed(spark):
+    from pyspark.sql import functions as F
+
+    from cerberus_spark.functions.binary import parse_label_sequence
+
+    rows = [
+        (1, bytes([7]) + b"example"),          # length overruns: no terminator
+        (2, bytes([250]) + b"ab"),              # length byte > remaining buffer
+        (3, b"\x00"),                           # empty name
+        (4, None),                              # null payload
+        (5, bytes([3]) + b"abc" + b"\x00"),     # valid single label
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r["id"]: r["name"] for r in df.select(
+        "id", parse_label_sequence(F.col("payload")).alias("name")
+    ).collect()}
+    assert got == {1: None, 2: None, 3: None, 4: None, 5: "abc"}
