@@ -1,0 +1,99 @@
+"""Physical-plan regression tests: the plan SHAPE is part of the
+contract at 100 TB.  These assert what `.explain("formatted")` shows —
+pushdown, pruning, broadcast strategies, shuffle count — so a future
+refactor can't silently turn a map-side join into a 100 TB shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.checks.referential import referential_orphans
+from cerberus_spark.checks.uniqueness import uniqueness_violations
+from cerberus_spark.pipeline import TRANSCRIPT_RULES
+from cerberus_spark.sources.catalog import tool_catalog
+from cerberus_spark.sources.transcripts import generate_transcripts
+from cerberus_spark.validation import validate
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def n_exchanges(plan: str) -> int:
+    """Count Exchange operators via their formatted-mode detail headers."""
+    return len(re.findall(r"\(\d+\) Exchange", plan))
+
+
+@pytest.fixture(scope="module")
+def transcripts_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "t")
+    generate_transcripts(spark, 500).write.parquet(p)
+    return spark.read.parquet(p)
+
+
+def test_validation_plan_is_shuffle_free(spark, transcripts_parquet):
+    """Rule evaluation must stay a scan + project — zero exchanges."""
+    res = validate(transcripts_parquet, TRANSCRIPT_RULES, key_cols=["conv_id", "turn_idx"])
+    plan = plan_of(res.violations())
+    assert "Exchange" not in plan
+    assert "Scan parquet" in plan
+
+
+def test_filter_pushdown_reaches_parquet(spark, transcripts_parquet):
+    plan = plan_of(transcripts_parquet.filter(F.col("role") == "tool").select("conv_id"))
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "role" in m.group(1), plan
+
+
+def test_column_pruning_reaches_parquet(spark, transcripts_parquet):
+    plan = plan_of(transcripts_parquet.select("conv_id", "turn_idx"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert read_cols == {"conv_id", "turn_idx"}, plan
+
+
+def test_uniqueness_is_partial_final_hash_agg(spark, transcripts_parquet):
+    """One shuffle keyed on the natural key, partial agg before it."""
+    plan = plan_of(uniqueness_violations(transcripts_parquet, ["conv_id", "turn_idx"]))
+    assert n_exchanges(plan) == 1, plan
+    assert "hashpartitioning(conv_id" in plan, plan
+    assert "HashAggregate" in plan
+    # map-side combine keeps shuffle volume at |distinct keys|
+    assert "partial_count" in plan, plan
+
+
+def test_referential_is_broadcast_anti_join(spark, transcripts_parquet):
+    plan = plan_of(
+        referential_orphans(transcripts_parquet, "tool", tool_catalog(spark), "tool")
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # dim side reaches the join via a BroadcastExchange; the only
+    # hash-shuffle allowed is the dim's own tiny distinct (8 rows) —
+    # the fact side streams map-side into the join
+    assert "BroadcastExchange" in plan, plan
+    assert n_exchanges(plan) <= 2, plan
+
+
+def test_whole_stage_codegen_covers_rule_eval(spark, transcripts_parquet):
+    res = validate(transcripts_parquet, TRANSCRIPT_RULES)
+    plan = plan_of(res.annotated)
+    # formatted mode marks codegen'd operators with [codegen id : N]
+    assert "codegen id" in plan, plan
+
+
+def test_broadcast_join_for_small_dim(spark, sf_dir="/root/testdata/sf0.001"):
+    """TPC-H-ish q3 shape: the filtered customer dim broadcasts."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    plan = plan_of(j)
+    assert "BroadcastHashJoin" in plan, plan
