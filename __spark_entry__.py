@@ -271,6 +271,68 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", F.round(l2_norm(F.col("embedding")), 4).alias("l2"))
 
 
+def q_enrich_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 analog: left outer broadcast equi-join chain with a
+    coalesce default (reference vendor/service lookups,
+    internal/monitor/monitor.go:488-499, databases/service.go:414-442:
+    hash-map get with 'Unknown' fallback)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        ev.join(F.broadcast(cust), "user_id", "left")
+        .join(F.broadcast(nation), "c_nationkey", "left")
+        .groupBy(F.coalesce(F.col("nation"), F.lit("Unknown")).alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_label_count_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 analog: per-key count-by-label map, re-nested (reference
+    TrafficTypeCounts/Services maps, monitor.go:328-329).  The map is
+    rendered as a sorted 'label:count' string so the cross-engine hash
+    compare is order-insensitive and map-type-free."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("event_type"), F.lit(":"), F.col("n").cast("string"))
+                )
+            ),
+            ",",
+        ).alias("type_counts")
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate ANN: coarse-quantize to 4 fixed
+    centroids (vec_id 0-3), search only the query's bucket.  The
+    candidate join is an equi-join on bucket — the 100 TB scale path
+    vs brute force (cerberus_spark.operators.similarity.ivf_topk)."""
+    from cerberus_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    out = ivf_topk(emb, queries_df, centroids, k=3)
+    # re-rank on ROUNDED sim with total tiebreak so float noise can't
+    # flip cross-engine ranks
+    r = out.select("query_id", "neighbor_id", F.round(F.col("sim"), 4).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
@@ -420,6 +482,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "recent_targets": q_recent_targets,
         "embedding_norms": q_embedding_norms,
+        "enrich_lookup": q_enrich_lookup,
+        "label_count_map": q_label_count_map,
+        "ivf_topk": q_ivf_topk,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "doc_quality": q_doc_quality,
@@ -787,6 +852,58 @@ FROM r WHERE rn <= 3 GROUP BY user_id
         "embedding_norms": """
 SELECT vec_id, round(sqrt(list_dot_product(embedding, embedding)), 4) AS l2
 FROM embeddings
+""",
+        "enrich_lookup": """
+SELECT coalesce(n.n_name, 'Unknown') AS nation,
+       count(*)::BIGINT AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+""",
+        "label_count_map": """
+WITH per AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                  ORDER BY event_type || ':' || CAST(n AS VARCHAR)) AS type_counts
+FROM per GROUP BY user_id
+""",
+        "ivf_topk": """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 4
+), scored_all AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_dot_product(v.embedding, c.centroid) /
+               (sqrt(list_dot_product(v.embedding, v.embedding)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+  FROM embeddings v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, centroid_id AS bucket FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored_all
+  ) WHERE rn = 1
+), q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, a.bucket
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  WHERE e.vec_id >= 5 AND e.vec_id < 10
+), cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.embedding) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  JOIN q ON a.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM cand
+) WHERE rk <= 3
 """,
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

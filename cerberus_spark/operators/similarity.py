@@ -80,16 +80,20 @@ def ivf_assign(
     vec_col: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
+    assign_round: int = 6,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast centroids).
 
     (id, bucket) — the IVF index 'coarse quantizer'.  max_by over the
     broadcast-joined scores keeps it one pass, one small shuffle on id.
+    The similarity is ROUNDED before the argmax (ties -> smallest
+    centroid id) so the assignment is bit-stable across engines and
+    float/double arithmetic orders.
     """
     scored = vectors.crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(centroid_id),
-        cosine(F.col(vec_col), F.col(centroid_vec)).alias("sim"),
+        F.round(cosine(F.col(vec_col), F.col(centroid_vec)), assign_round).alias("sim"),
     )
     return scored.groupBy(id_col).agg(
         F.max_by(F.col(centroid_id), F.struct(F.col("sim"), -F.col(centroid_id))).alias("bucket")
