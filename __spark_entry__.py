@@ -333,6 +333,53 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
+def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path: the SAME compiled rule set applied to
+    a readStream over the events table (availableNow -> memory sink),
+    then violation counts — results must equal the batch/SQL oracle.
+    Proves rule compilation is plan-mode agnostic (W1/W2 analog)."""
+    import uuid
+
+    from cerberus_spark.streaming.validate_stream import validate_stream
+
+    name = f"sv_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file streams need a directory source: stream the sf dir filtered
+    # down to the events file
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    annotated = validate_stream(stream, EVENT_RULES)
+    per_row = annotated.select(F.explode(F.col("_violations")).alias("v")).select(
+        F.col("v.field").alias("field"), F.col("v.rule").alias("rule")
+    )
+    q = (
+        per_row.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("field", "rule")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+    )
+
+
+def q_salted_label_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation (north_rule: 'skew handled by
+    salted repartitioning'): (key, label, salt) partials -> merge.
+    Results must equal a plain GROUP BY — the oracle proves it."""
+    from cerberus_spark.operators.aggregate import salted_count_map
+
+    ev = _t(spark, sf_dir, "events")
+    return salted_count_map(ev, "user_id", "event_type", n_salts=8)
+
+
 def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     w = (
@@ -485,6 +532,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_lookup": q_enrich_lookup,
         "label_count_map": q_label_count_map,
         "ivf_topk": q_ivf_topk,
+        "stream_validate": q_stream_validate,
+        "salted_label_counts": q_salted_label_counts,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "doc_quality": q_doc_quality,
@@ -682,7 +731,7 @@ SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
         arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     lang_case = "CASE " + " ".join(arms) + " ELSE 'und' END"
 
-    return {
+    out = {
         "validate_events": f"""
 SELECT event_id, 'event_type' AS field, 'required' AS rule, CAST(event_type AS VARCHAR) AS value
   FROM events WHERE event_type IS NULL
@@ -951,4 +1000,11 @@ SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
         "ngram_jaccard": jaccard_sql,
         "simhash": simhash_sql,
         "cosine_topk": cosine_sql,
+        "salted_label_counts": """
+SELECT user_id, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY user_id, event_type
+""",
     }
+    # streaming path must produce EXACTLY the batch rule-summary counts
+    out["stream_validate"] = out["validation_summary"]
+    return out

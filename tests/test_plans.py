@@ -97,3 +97,31 @@ def test_broadcast_join_for_small_dim(spark, sf_dir="/root/testdata/sf0.001"):
     j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     plan = plan_of(j)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_bucketed_join_is_colocated_no_shuffle(spark, transcripts_parquet, tmp_path_factory):
+    """Bucketing both sides on the join key pre-partitions data at
+    write time — the join then needs NO exchange (the 100 TB co-located
+    join strategy; analog of the reference's keyed KV layout,
+    internal/monitor/monitor.go:47-53)."""
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    transcripts_parquet.select("conv_id", "turn_idx", "role").write.bucketBy(
+        8, "conv_id"
+    ).sortBy("conv_id").mode("overwrite").saveAsTable("bkt_a")
+    transcripts_parquet.groupBy("conv_id").count().write.bucketBy(
+        8, "conv_id"
+    ).sortBy("conv_id").mode("overwrite").saveAsTable("bkt_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "conv_id")
+        plan = plan_of(j)
+        assert "SortMergeJoin" in plan, plan
+        assert n_exchanges(plan) == 0, plan
+        # sanity: same result as the unbucketed join
+        assert j.count() == transcripts_parquet.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
