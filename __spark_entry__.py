@@ -333,6 +333,32 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
+def q_semi_join_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 analog: broadcast LEFT-SEMI membership flagging (reference
+    threat-port lookup, internal/databases/service.go:445-451) — keep
+    only rows whose key IS in the watchlist."""
+    ev = _t(spark, sf_dir, "events")
+    watch = spark.createDataFrame([("error",), ("purchase",)], "event_type string")
+    flagged = ev.join(F.broadcast(watch), "event_type", "left_semi")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_extract_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 analog: regexp field extraction (reference HTTP method/path
+    extractor, internal/utils/converter.go:154-191) — pull the numeric
+    k out of the props JSON-ish string, histogram it."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1)
+    return (
+        ev.select(F.when(k == "", None).otherwise(k).cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the SAME compiled rule set applied to
     a readStream over the events table (availableNow -> memory sink),
@@ -534,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "stream_validate": q_stream_validate,
         "salted_label_counts": q_salted_label_counts,
+        "semi_join_flag": q_semi_join_flag,
+        "extract_props_k": q_extract_props_k,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "doc_quality": q_doc_quality,
@@ -1003,6 +1031,17 @@ SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
         "salted_label_counts": """
 SELECT user_id, event_type, count(*)::BIGINT AS n
 FROM events GROUP BY user_id, event_type
+""",
+        "semi_join_flag": """
+SELECT event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS total_value
+FROM events WHERE event_type IN ('error', 'purchase')
+GROUP BY event_type
+""",
+        "extract_props_k": """
+SELECT CASE WHEN m = '' OR m IS NULL THEN NULL ELSE m::INT END AS k,
+       count(*)::BIGINT AS n
+FROM (SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS m FROM events)
+GROUP BY 1
 """,
     }
     # streaming path must produce EXACTLY the batch rule-summary counts
