@@ -247,9 +247,13 @@ def compile_schema(
                 if dval is None:
                     conds.append(dcol.isNotNull())
                 elif isinstance(dval, (list, tuple, set)):
-                    conds.append(dcol.isin(list(dval)))
+                    # coalesce(False): a NULL dependency column must
+                    # mean NOT-met (SQL three-valued logic would
+                    # otherwise turn the whole predicate NULL and
+                    # silently swallow the violation)
+                    conds.append(F.coalesce(dcol.isin(list(dval)), F.lit(False)))
                 else:
-                    conds.append(dcol == F.lit(dval))
+                    conds.append(F.coalesce(dcol == F.lit(dval), F.lit(False)))
             deps_met = conds[0]
             for c in conds[1:]:
                 deps_met = deps_met & c

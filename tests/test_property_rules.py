@@ -1,0 +1,108 @@
+"""Property-based equivalence: compiled Catalyst predicates vs the
+pure-Python reference validator on hypothesis-generated rule dicts and
+rows.  One Spark round-trip per generated CASE (rows are batched into a
+single DataFrame), so the search is wide without being slow.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cerberus_spark.rules import python_validate
+from cerberus_spark.validation import validate
+
+# --- strategies ------------------------------------------------------------
+
+label_values = st.sampled_from(["alpha", "beta", "gamma", "", "delta-9", "X"])
+str_or_none = st.one_of(st.none(), label_values)
+int_or_none = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+
+
+@st.composite
+def str_field_rules(draw):
+    fr: dict = {"type": "string"}
+    if draw(st.booleans()):
+        fr["required"] = draw(st.booleans())
+    elif draw(st.booleans()):
+        fr["nullable"] = draw(st.booleans())
+    if draw(st.booleans()):
+        fr["allowed"] = draw(st.lists(label_values, min_size=1, max_size=4, unique=True))
+    if draw(st.booleans()):
+        fr["forbidden"] = draw(st.lists(label_values, min_size=1, max_size=2, unique=True))
+    if draw(st.booleans()):
+        fr["minlength"] = draw(st.integers(min_value=0, max_value=5))
+    if draw(st.booleans()):
+        fr["maxlength"] = draw(st.integers(min_value=0, max_value=8))
+    if draw(st.booleans()):
+        fr["regex"] = draw(st.sampled_from([r"[a-z]+", r"[a-z]+-[0-9]", r"...", r"X|Y"]))
+    if draw(st.booleans()):
+        fr["empty"] = False
+    return fr
+
+
+@st.composite
+def int_field_rules(draw):
+    fr: dict = {"type": "integer"}
+    if draw(st.booleans()):
+        fr["required"] = draw(st.booleans())
+    if draw(st.booleans()):
+        fr["min"] = draw(st.integers(min_value=-50, max_value=50))
+    if draw(st.booleans()):
+        fr["max"] = draw(st.integers(min_value=-50, max_value=50))
+    return fr
+
+
+@st.composite
+def dep_rules(draw):
+    """tool-style field whose presence depends on another column."""
+    fr: dict = {"type": "string", "nullable": True}
+    kind = draw(st.integers(min_value=0, max_value=2))
+    if kind == 0:
+        fr["dependencies"] = {"s": draw(label_values)}
+    elif kind == 1:
+        fr["dependencies"] = {"s": draw(st.lists(label_values, min_size=1, max_size=3, unique=True))}
+    else:
+        fr["dependencies"] = "s"
+    return fr
+
+
+rows_strategy = st.lists(
+    st.fixed_dictionaries({"s": str_or_none, "i": int_or_none, "t": str_or_none}),
+    min_size=1,
+    max_size=8,
+)
+
+schema_strategy = st.fixed_dictionaries(
+    {"s": str_field_rules(), "i": int_field_rules(), "t": dep_rules()}
+)
+
+
+@pytest.fixture(scope="module")
+def _spark(spark):
+    return spark
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(schema=schema_strategy, rows=rows_strategy)
+def test_compiled_rules_match_python_twin(_spark, schema, rows):
+    spark = _spark
+    data = [(idx, r["s"], r["i"], r["t"]) for idx, r in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid int, s string, i int, t string")
+    res = validate(df, schema, key_cols=["rid"])
+    got = {
+        (r["rid"], r["field"], r["rule"])
+        for r in res.violations().collect()
+    }
+    exp = {
+        (idx, f, rule)
+        for idx, r in enumerate(rows)
+        for (f, rule, _v) in python_validate(r, schema)
+    }
+    assert got == exp, f"schema={schema} rows={rows}"
