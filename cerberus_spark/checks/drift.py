@@ -27,6 +27,19 @@ def categorical_histogram(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+def numeric_bin_expr(col, edges: list[float]):
+    """FROZEN-edge bin index expression: Σ 1[x >= edge_i] over interior
+    edges (clamps out-of-range into first/last bin).  NULL in -> NULL
+    out.  Shared by numeric_histogram and the single-pass drift."""
+    col = col.cast("double")
+    steps = None
+    for e in edges[1:-1]:
+        ind = F.when(col >= F.lit(float(e)), 1).otherwise(0)
+        steps = ind if steps is None else steps + ind
+    bin_idx = steps if steps is not None else F.lit(0)
+    return F.when(col.isNotNull(), bin_idx.cast("int"))
+
+
 def numeric_histogram(df: DataFrame, column: str, edges: list[float]) -> DataFrame:
     """(bin, count) with FROZEN edges: bin i covers [edges[i], edges[i+1]).
 

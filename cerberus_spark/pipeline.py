@@ -83,33 +83,82 @@ def all_violations(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def drift_reports(df: DataFrame, baseline: DataFrame | None = None) -> DataFrame:
-    """role + text-length drift vs baseline in one DataFrame (one job).
+    """role + text-length drift vs baseline in one DataFrame.
 
-    Without an explicit baseline snapshot, the split point (median ts)
-    is computed IN-PLAN via a broadcast 1-row aggregate — no separate
-    collect round-trip, so the whole drift computation is one action.
+    With an explicit baseline snapshot: two-sided histograms via
+    ``drift_report`` (lazy).  Without one (self-drift around the median
+    ts): a SINGLE scan computes every histogram at once — the split is
+    an in-plan broadcast 1-row aggregate and both the role and
+    text-length histograms come out of one GROUPING SETS aggregation;
+    the KL/PSI math then runs driver-side on the collected
+    histogram-sized rows (SURVEY.md §4: drift is deterministic binning
+    + small math, never a second pass over the data).
     """
-    if baseline is None:
-        med = df.agg(F.percentile_approx("ts", F.lit(0.5), F.lit(10000)).alias("_split"))
-        tagged = df.crossJoin(F.broadcast(med))
-        baseline = tagged.filter(F.col("ts") < F.col("_split")).drop("_split")
-        current = tagged.filter(F.col("ts") >= F.col("_split")).drop("_split")
-    else:
-        current = df
+    import math
 
-    role = drift_report(
-        categorical_histogram(baseline, "role"),
-        categorical_histogram(current, "role"),
-        "role",
+    from cerberus_spark.checks.drift import EPS, numeric_bin_expr
+
+    if baseline is not None:
+        current = df
+        role = drift_report(
+            categorical_histogram(baseline, "role"),
+            categorical_histogram(current, "role"),
+            "role",
+        )
+        blen = baseline.select(F.length("text").alias("text_len"))
+        clen = current.select(F.length("text").alias("text_len"))
+        tlen = drift_report(
+            numeric_histogram(blen, "text_len", TEXT_LEN_EDGES),
+            numeric_histogram(clen, "text_len", TEXT_LEN_EDGES),
+            "text_len",
+        )
+        return role.unionAll(tlen)
+
+    med = df.agg(F.percentile_approx("ts", F.lit(0.5), F.lit(10000)).alias("_split"))
+    tagged = df.crossJoin(F.broadcast(med)).select(
+        (F.col("ts") >= F.col("_split")).alias("is_cur"),
+        F.coalesce(F.col("role"), F.lit("__null__")).alias("role_bin"),
+        numeric_bin_expr(F.length("text"), TEXT_LEN_EDGES).alias("len_bin"),
     )
-    blen = baseline.select(F.length("text").alias("text_len"))
-    clen = current.select(F.length("text").alias("text_len"))
-    tlen = drift_report(
-        numeric_histogram(blen, "text_len", TEXT_LEN_EDGES),
-        numeric_histogram(clen, "text_len", TEXT_LEN_EDGES),
-        "text_len",
+    gs = tagged.groupingSets(
+        [["is_cur", "role_bin"], ["is_cur", "len_bin"]],
+        "is_cur",
+        "role_bin",
+        "len_bin",
+    ).agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
+    # gid=1 -> (is_cur, role_bin) set; gid=2 -> (is_cur, len_bin) set
+    hists: dict[str, dict] = {"role": {}, "text_len": {}}
+    for r in gs.collect():
+        if r["gid"] == 1:
+            key, name = r["role_bin"], "role"
+        elif r["len_bin"] is not None:  # drop NULL text rows (no length)
+            key, name = r["len_bin"], "text_len"
+        else:
+            continue
+        b, c = hists[name].get(key, (0, 0))
+        if r["is_cur"]:
+            hists[name][key] = (b, c + r["n"])
+        else:
+            hists[name][key] = (b + r["n"], c)
+
+    def kl_psi(pairs: dict) -> tuple[float | None, float | None]:
+        bt = sum(b for b, _ in pairs.values())
+        ct = sum(c for _, c in pairs.values())
+        if not bt or not ct:
+            return None, None
+        kl = psi = 0.0
+        for b, c in pairs.values():
+            p = c / ct + EPS
+            q = b / bt + EPS
+            lr = math.log(p / q)
+            kl += p * lr
+            psi += (p - q) * lr
+        return kl, psi
+
+    rows = [(name, *kl_psi(pairs)) for name, pairs in hists.items()]
+    return df.sparkSession.createDataFrame(
+        rows, "column_name string, kl double, psi double"
     )
-    return role.unionAll(tlen)
 
 
 def full_validation(

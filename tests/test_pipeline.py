@@ -109,3 +109,27 @@ def test_validate_job_end_to_end_with_resume(spark, transcripts, tmp_path):
     import os
 
     assert not os.path.exists(str(tmp_path / "sink2"))
+
+
+def test_singlepass_drift_matches_two_sided(spark, transcripts):
+    """The grouping-sets single-scan drift must equal the lazy
+    two-histogram drift_report path on the same median split."""
+    from pyspark.sql import functions as F
+
+    split = transcripts.agg(
+        F.percentile_approx("ts", F.lit(0.5), F.lit(10000)).alias("m")
+    ).collect()[0]["m"]
+    base = transcripts.filter(F.col("ts") < F.lit(split))
+    cur = transcripts.filter(F.col("ts") >= F.lit(split))
+    two_sided = {
+        r["column_name"]: (r["kl"], r["psi"])
+        for r in drift_reports(cur, baseline=base).collect()
+    }
+    single = {
+        r["column_name"]: (r["kl"], r["psi"])
+        for r in drift_reports(transcripts).collect()
+    }
+    assert set(single) == {"role", "text_len"} == set(two_sided)
+    for name in single:
+        for a, b in zip(single[name], two_sided[name]):
+            assert abs(a - b) < 1e-9, (name, single[name], two_sided[name])
