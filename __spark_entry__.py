@@ -359,6 +359,16 @@ def q_extract_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.5; the synthetic
+    embeddings are near-orthogonal, so this exercises the operator and
+    the threshold path without exploding the pair count)."""
+    from cerberus_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.5)
+
+
 def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the SAME compiled rule set applied to
     a readStream over the events table (availableNow -> memory sink),
@@ -562,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_label_counts": q_salted_label_counts,
         "semi_join_flag": q_semi_join_flag,
         "extract_props_k": q_extract_props_k,
+        "embedding_neardup": q_embedding_neardup,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "doc_quality": q_doc_quality,
@@ -1042,6 +1053,16 @@ SELECT CASE WHEN m = '' OR m IS NULL THEN NULL ELSE m::INT END AS k,
        count(*)::BIGINT AS n
 FROM (SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS m FROM events)
 GROUP BY 1
+""",
+        "embedding_neardup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding, b.embedding) /
+             (sqrt(list_dot_product(a.embedding, a.embedding)) *
+              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.embedding, b.embedding) /
+            (sqrt(list_dot_product(a.embedding, a.embedding)) *
+             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.5
 """,
     }
     # streaming path must produce EXACTLY the batch rule-summary counts

@@ -100,6 +100,43 @@ def ivf_assign(
     )
 
 
+def cosine_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    centroids: DataFrame | None = None,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: (id_a, id_b, sim) with
+    sim ≥ threshold, id_a < id_b.
+
+    Without ``centroids``: exact all-pairs via broadcast nested-loop —
+    correct at corpus sizes where one side broadcasts (the oracle
+    path).  With ``centroids``: IVF-bucketed — vectors are
+    coarse-quantized once and only same-bucket pairs are scored; the
+    pair join becomes an equi-join on bucket (the 100 TB path; recall
+    trades off with #centroids exactly as in ivf_topk).
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if centroids is None:
+        joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        assign = ivf_assign(vectors, centroids, id_col, vec_col)
+        a = a.join(assign.withColumnRenamed(id_col, "id_a"), "id_a")
+        b = b.join(assign.withColumnRenamed(id_col, "id_b"), "id_b")
+        joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

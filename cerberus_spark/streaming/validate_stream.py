@@ -46,6 +46,38 @@ def streaming_dedup(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stateful_turn_counts(stream_df: DataFrame, key: str = "conv_id") -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    a running per-conversation turn counter that survives across
+    micro-batches (the analog of the reference's per-key DeviceInfo
+    state updated per event under the LRU cache,
+    internal/monitor/monitor.go:261-297,322-368 — but with exact,
+    checkpointable state instead of a lossy LRU).
+
+    Emits (key, n_turns) in update mode after every batch that touches
+    the key; the latest emission per key is the running total.  This is
+    the template for arbitrary per-key streaming state (rate limits,
+    session aggregates, schema-drift counters).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key_tuple, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({key: [key_tuple[0]], "n_turns": [n]})
+
+    return stream_df.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=f"{key} string, n_turns long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     src_dir: str,

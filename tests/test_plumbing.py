@@ -99,3 +99,40 @@ def test_streaming_dedup(spark, tmp_path):
         spark.read.parquet(src).select("conv_id", "turn_idx").distinct().count()
     )
     assert out.count() == distinct_keys
+
+
+def test_stateful_streaming_turn_counts(spark, tmp_path):
+    """applyInPandasWithState accumulates per-conv state across
+    micro-batches (maxFilesPerTrigger=1 forces multiple batches)."""
+    from cerberus_spark.sources.transcripts import generate_transcripts
+    from cerberus_spark.streaming.validate_stream import stateful_turn_counts
+
+    src = str(tmp_path / "stream_src")
+    df = generate_transcripts(spark, 60)
+    df.repartition(4).write.parquet(src)  # 4 files -> 4 micro-batches
+    expected = {r["conv_id"]: r["n"] for r in
+                df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = stateful_turn_counts(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("turn_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits once per touched key per batch; the running
+    # total is the MAX emission per key
+    got = {
+        r["conv_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT conv_id, max(n_turns) AS n FROM turn_counts GROUP BY conv_id"
+        ).collect()
+    }
+    assert got == expected
