@@ -88,6 +88,22 @@ def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(ev, EVENT_RULES, key_cols=["event_id"]).summary()
 
 
+DOC_RULES = {
+    "text": {"type": "string", "required": True, "minlength": 60, "maxlength": 500, "empty": False},
+    "lang": {"type": "string", "allowed": ["en", "de", "fr", "es"]},  # zh -> violation
+    "source": {"type": "string", "nullable": False, "regex": "src[0-9]{1,2}", "forbidden": ["src13"]},
+    "n_chars": {"type": "integer", "min": 0, "max": 520},
+}
+
+
+def q_validate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the rule types validate_events doesn't: minlength /
+    maxlength / empty / forbidden / nullable."""
+    docs = _t(spark, sf_dir, "documents")
+    res = validate(docs, DOC_RULES, key_cols=["doc_id"])
+    return res.violations().select("doc_id", "field", "rule")
+
+
 def q_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-match-wins cascade (reference classifier analog C1-C11)."""
     ev = _t(spark, sf_dir, "events")
@@ -547,6 +563,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "validate_events": q_validate_events,
+        "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
         "classify_events": q_classify_events,
         "uniqueness_user_day": q_uniqueness_user_day,
@@ -1053,6 +1070,31 @@ SELECT CASE WHEN m = '' OR m IS NULL THEN NULL ELSE m::INT END AS k,
        count(*)::BIGINT AS n
 FROM (SELECT regexp_extract(props, '"k": ([0-9]+)', 1) AS m FROM events)
 GROUP BY 1
+""",
+        "validate_docs": """
+SELECT doc_id, field, rule FROM (
+  SELECT doc_id, 'text' AS field, 'required' AS rule FROM documents WHERE text IS NULL
+  UNION ALL
+  SELECT doc_id, 'text', 'minlength' FROM documents WHERE text IS NOT NULL AND length(text) < 60
+  UNION ALL
+  SELECT doc_id, 'text', 'maxlength' FROM documents WHERE text IS NOT NULL AND length(text) > 500
+  UNION ALL
+  SELECT doc_id, 'text', 'empty' FROM documents WHERE text IS NOT NULL AND length(text) = 0
+  UNION ALL
+  SELECT doc_id, 'lang', 'allowed' FROM documents
+   WHERE lang IS NOT NULL AND lang NOT IN ('en', 'de', 'fr', 'es')
+  UNION ALL
+  SELECT doc_id, 'source', 'nullable' FROM documents WHERE source IS NULL
+  UNION ALL
+  SELECT doc_id, 'source', 'regex' FROM documents
+   WHERE source IS NOT NULL AND NOT regexp_full_match(source, 'src[0-9]{1,2}')
+  UNION ALL
+  SELECT doc_id, 'source', 'forbidden' FROM documents WHERE source = 'src13'
+  UNION ALL
+  SELECT doc_id, 'n_chars', 'min' FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+  UNION ALL
+  SELECT doc_id, 'n_chars', 'max' FROM documents WHERE n_chars IS NOT NULL AND n_chars > 520
+)
 """,
         "embedding_neardup": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
