@@ -376,13 +376,18 @@ def q_extract_props_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.5; the synthetic
-    embeddings are near-orthogonal, so this exercises the operator and
-    the threshold path without exploding the pair count)."""
+    """Embedding-cosine near-dup pairs via IVF bucketing (16 fixed
+    centroids = vec_id 0-15): only same-bucket pairs are scored — the
+    100 TB shape (bucket equi-join, never an all-pairs cross join).
+    Threshold 0.4 on near-orthogonal synthetic embeddings keeps the
+    result small while exercising the full path."""
     from cerberus_spark.operators.similarity import cosine_neardup_pairs
 
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.5)
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return cosine_neardup_pairs(emb, threshold=0.4, centroids=centroids)
 
 
 def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1097,14 +1102,30 @@ SELECT doc_id, field, rule FROM (
 )
 """,
         "embedding_neardup": """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.embedding, b.embedding) /
-             (sqrt(list_dot_product(a.embedding, a.embedding)) *
-              sqrt(list_dot_product(b.embedding, b.embedding))), 4) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.embedding, b.embedding) /
-            (sqrt(list_dot_product(a.embedding, a.embedding)) *
-             sqrt(list_dot_product(b.embedding, b.embedding))), 4) >= 0.5
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 16
+), scored_all AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_dot_product(v.embedding, c.centroid) /
+               (sqrt(list_dot_product(v.embedding, v.embedding)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+  FROM embeddings v CROSS JOIN cent c
+), assign AS (
+  SELECT vec_id, centroid_id AS bucket FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored_all
+  ) WHERE rn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(ea.embedding, eb.embedding) /
+               (sqrt(list_dot_product(ea.embedding, ea.embedding)) *
+                sqrt(list_dot_product(eb.embedding, eb.embedding))), 4) AS sim
+  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
 """,
     }
     # streaming path must produce EXACTLY the batch rule-summary counts

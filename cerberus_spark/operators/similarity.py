@@ -118,8 +118,16 @@ def cosine_neardup_pairs(
     pair join becomes an equi-join on bucket (the 100 TB path; recall
     trades off with #centroids exactly as in ivf_topk).
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # precompute norms ONCE per vector: per-pair cosine() would walk
+    # each array 3x (dot + 2 norms) in interpreted HOF eval — on an
+    # n^2 pair join that triples the dominant cost
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     if centroids is None:
         joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
@@ -131,7 +139,9 @@ def cosine_neardup_pairs(
         joined.select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), round_to).alias("sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), round_to
+            ).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
