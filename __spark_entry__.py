@@ -490,6 +490,25 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rev.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10)
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing through the contract: deterministic synthetic
+    media table (binary payload + typed metadata) -> Arrow-batched
+    feature extraction (stubbed decode).  No oracle_sql entry on
+    purpose: the fake decoder is sha256-of-bytes, which is the part a
+    real deployment swaps for PIL/ffmpeg — the driver's rows-only check
+    covers the Spark-side schema/batching, which IS the deliverable."""
+    from cerberus_spark.functions.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(spark, 512)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + aggregate — pushdown showcase."""
     li = _t(spark, sf_dir, "lineitem")
@@ -635,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "multimodal_features": q_multimodal_features,  # rows-only: no oracle (stubbed decode)
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
