@@ -106,3 +106,58 @@ def test_compiled_rules_match_python_twin(_spark, schema, rows):
         for (f, rule, _v) in python_validate(r, schema)
     }
     assert got == exp, f"schema={schema} rows={rows}"
+
+
+# ---------------------------------------------------------------------------
+# property: first-match-wins cascade == python loop over the same arms
+# ---------------------------------------------------------------------------
+
+arm_strategy = st.tuples(
+    st.sampled_from(["lt", "ge", "eq", "in"]),
+    st.integers(min_value=-20, max_value=20),
+    st.sampled_from(["A", "B", "C", "D"]),
+)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    arms=st.lists(arm_strategy, min_size=0, max_size=6),
+    values=st.lists(st.one_of(st.none(), st.integers(-25, 25)), min_size=1, max_size=10),
+)
+def test_classifier_cascade_matches_python(_spark, arms, values):
+    from cerberus_spark.operators.classify import Classifier
+
+    spark = _spark
+    c = Classifier("DEFAULT")
+    for op, thr, label in arms:
+        col = F.col("x")
+        if op == "lt":
+            c.when(col < thr, label)
+        elif op == "ge":
+            c.when(col >= thr, label)
+        elif op == "eq":
+            c.when(col == thr, label)
+        else:
+            c.when_in(col, [thr, thr + 1], label)
+
+    def py_classify(x):
+        if x is None:
+            return "DEFAULT"  # SQL comparisons with NULL never match
+        for op, thr, label in arms:
+            if (
+                (op == "lt" and x < thr)
+                or (op == "ge" and x >= thr)
+                or (op == "eq" and x == thr)
+                or (op == "in" and x in (thr, thr + 1))
+            ):
+                return label
+        return "DEFAULT"
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "rid int, x int")
+    got = {r["rid"]: r["label"] for r in c.apply(df).collect()}
+    exp = {i: py_classify(v) for i, v in enumerate(values)}
+    assert got == exp, f"arms={arms} values={values}"
