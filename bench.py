@@ -118,7 +118,7 @@ def main() -> None:
 
     shutil.rmtree(TMP, ignore_errors=True)
     result = {
-        "metric": "turns validated/sec (full rule-set + uniqueness + referential + drift)",
+        "metric": "turns validated/sec (full rule-set + uniqueness + referential + column stats + drift)",
         "value": head["pipeline_sec"],
         "unit": "sec",
         "queries": queries,

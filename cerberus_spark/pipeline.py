@@ -161,6 +161,37 @@ def drift_reports(df: DataFrame, baseline: DataFrame | None = None) -> DataFrame
     )
 
 
+def transcript_stats(df: DataFrame) -> DataFrame:
+    """Per-column stats in ONE aggregation job (north_star: null rate,
+    cardinality sketches, quantiles): null counts + HLL distinct per
+    column, plus text-length percentile sketch — all partial-aggregated
+    map-side, unpivoted with a struct explode (no extra scan per
+    column)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for c in cols:
+        aggs.append(F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nulls_{c}"))
+        aggs.append(F.approx_count_distinct(c).alias(f"__nd_{c}"))
+    aggs.append(
+        F.percentile_approx(
+            F.length("text"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(2000)
+        ).alias("__tl_q")
+    )
+    wide = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            (F.col(f"__nulls_{c}") / F.col("__rows")).alias("null_rate"),
+            F.col(f"__nd_{c}").alias("approx_distinct"),
+        )
+        for c in cols
+    ]
+    return wide.select(
+        F.explode(F.array(*structs)).alias("p"),
+        F.col("__tl_q").alias("text_len_q50_q95_q99"),
+    ).select("p.*", "text_len_q50_q95_q99")
+
+
 def full_validation(
     spark: SparkSession,
     df: DataFrame,
@@ -179,6 +210,7 @@ def full_validation(
         "all_violations": violations,
         "rule_summary": res_summary,
         "partition_summary": annotated.partition_summary(),
+        "column_stats": transcript_stats(df),
         "drift": drift_reports(df, baseline),
     }
 
@@ -207,4 +239,5 @@ def run_full_validation(
         materialize(outs["all_violations"])
         materialize(outs["rule_summary"])
     materialize(outs["partition_summary"])
+    materialize(outs["column_stats"])
     materialize(outs["drift"])

@@ -133,3 +133,14 @@ def test_singlepass_drift_matches_two_sided(spark, transcripts):
     for name in single:
         for a, b in zip(single[name], two_sided[name]):
             assert abs(a - b) < 1e-9, (name, single[name], two_sided[name])
+
+
+def test_transcript_stats_shape(spark, transcripts):
+    from cerberus_spark.pipeline import transcript_stats
+
+    rows = {r["column_name"]: r for r in transcript_stats(transcripts).collect()}
+    assert set(rows) == {"conv_id", "turn_idx", "role", "text", "tool", "ts"}
+    assert rows["text"]["null_rate"] > 0          # generator injects null text
+    assert rows["role"]["approx_distinct"] >= 4   # HLL ballpark
+    q = rows["text"]["text_len_q50_q95_q99"]
+    assert len(q) == 3 and q[0] <= q[1] <= q[2]
