@@ -105,6 +105,11 @@ def drift_reports(df: DataFrame, baseline: DataFrame | None = None) -> DataFrame
             categorical_histogram(current, "role"),
             "role",
         )
+        tool = drift_report(
+            categorical_histogram(baseline, "tool"),
+            categorical_histogram(current, "tool"),
+            "tool",
+        )
         blen = baseline.select(F.length("text").alias("text_len"))
         clen = current.select(F.length("text").alias("text_len"))
         tlen = drift_report(
@@ -112,26 +117,34 @@ def drift_reports(df: DataFrame, baseline: DataFrame | None = None) -> DataFrame
             numeric_histogram(clen, "text_len", TEXT_LEN_EDGES),
             "text_len",
         )
-        return role.unionAll(tlen)
+        return role.unionAll(tool).unionAll(tlen)
 
     med = df.agg(F.percentile_approx("ts", F.lit(0.5), F.lit(10000)).alias("_split"))
     tagged = df.crossJoin(F.broadcast(med)).select(
         (F.col("ts") >= F.col("_split")).alias("is_cur"),
         F.coalesce(F.col("role"), F.lit("__null__")).alias("role_bin"),
+        F.coalesce(F.col("tool"), F.lit("__null__")).alias("tool_bin"),
         numeric_bin_expr(F.length("text"), TEXT_LEN_EDGES).alias("len_bin"),
     )
     gs = tagged.groupingSets(
-        [["is_cur", "role_bin"], ["is_cur", "len_bin"]],
+        [["is_cur", "role_bin"], ["is_cur", "len_bin"], ["is_cur", "tool_bin"]],
         "is_cur",
         "role_bin",
         "len_bin",
+        "tool_bin",
     ).agg(F.count(F.lit(1)).alias("n"), F.grouping_id().alias("gid"))
-    # gid=1 -> (is_cur, role_bin) set; gid=2 -> (is_cur, len_bin) set
-    hists: dict[str, dict] = {"role": {}, "text_len": {}}
+    # grouping_id bits follow groupBy order (is_cur, role_bin, len_bin,
+    # tool_bin), MSB first; a set's missing columns are 1-bits:
+    #   {is_cur, role_bin} -> 0b0011 = 3
+    #   {is_cur, len_bin}  -> 0b0101 = 5
+    #   {is_cur, tool_bin} -> 0b0110 = 6
+    hists: dict[str, dict] = {"role": {}, "text_len": {}, "tool": {}}
     for r in gs.collect():
-        if r["gid"] == 1:
+        if r["gid"] == 3:
             key, name = r["role_bin"], "role"
-        elif r["len_bin"] is not None:  # drop NULL text rows (no length)
+        elif r["gid"] == 6:
+            key, name = r["tool_bin"], "tool"
+        elif r["gid"] == 5 and r["len_bin"] is not None:  # drop NULL text rows
             key, name = r["len_bin"], "text_len"
         else:
             continue

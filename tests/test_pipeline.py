@@ -64,7 +64,7 @@ def test_all_violations_matches_python_twin(spark, transcripts, expected):
 
 def test_drift_reports_two_rows_finite(spark, transcripts):
     rows = drift_reports(transcripts).collect()
-    assert sorted(r["column_name"] for r in rows) == ["role", "text_len"]
+    assert sorted(r["column_name"] for r in rows) == ["role", "text_len", "tool"]
     for r in rows:
         assert r["kl"] is not None and r["kl"] >= 0.0
         assert r["psi"] is not None
@@ -129,7 +129,7 @@ def test_singlepass_drift_matches_two_sided(spark, transcripts):
         r["column_name"]: (r["kl"], r["psi"])
         for r in drift_reports(transcripts).collect()
     }
-    assert set(single) == {"role", "text_len"} == set(two_sided)
+    assert set(single) == {"role", "text_len", "tool"} == set(two_sided)
     for name in single:
         for a, b in zip(single[name], two_sided[name]):
             assert abs(a - b) < 1e-9, (name, single[name], two_sided[name])
