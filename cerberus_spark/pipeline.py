@@ -67,11 +67,13 @@ def materialize(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def all_violations(spark: SparkSession, df: DataFrame) -> DataFrame:
+def all_violations(
+    spark: SparkSession, df: DataFrame, rules: dict | None = None
+) -> DataFrame:
     """Rule + uniqueness + referential violations in ONE normalized
     DataFrame (conv_id, turn_idx, field, rule, value) — the single
     violations sink the audit table ingests."""
-    res = validate(df, TRANSCRIPT_RULES, key_cols=KEY_COLS)
+    res = validate(df, rules or TRANSCRIPT_RULES, key_cols=KEY_COLS)
     uniq = uniqueness_violations(df, KEY_COLS).select(
         *KEY_COLS,
         F.lit("(conv_id,turn_idx)").alias("field"),
@@ -209,16 +211,18 @@ def full_validation(
     spark: SparkSession,
     df: DataFrame,
     baseline: DataFrame | None = None,
+    rules: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Build (lazily) every check's result DataFrame for a transcript
     table.  ``baseline`` defaults to the older half of ``df`` by median
-    timestamp — in production it is the frozen snapshot table."""
-    violations = all_violations(spark, df)
+    timestamp — in production it is the frozen snapshot table;
+    ``rules`` overrides the default transcript rule set."""
+    violations = all_violations(spark, df, rules)
     res_summary = violations.groupBy("field", "rule").agg(
         F.count(F.lit(1)).alias("n_violations")
     )
     # partition summary needs the annotated frame (pass/fail per row)
-    annotated = validate(df, TRANSCRIPT_RULES, key_cols=KEY_COLS)
+    annotated = validate(df, rules or TRANSCRIPT_RULES, key_cols=KEY_COLS)
     return {
         "all_violations": violations,
         "rule_summary": res_summary,
@@ -233,6 +237,7 @@ def run_full_validation(
     df: DataFrame,
     baseline: DataFrame | None = None,
     sink_dir: str | None = None,
+    rules: dict | None = None,
 ) -> None:
     """Materialize every check (the benched unit of work): 4 actions.
 
@@ -242,7 +247,7 @@ def run_full_validation(
     whole rule cascade just to count it.  Without it, every output goes
     to the noop sink and the summary recomputes from source.
     """
-    outs = full_validation(spark, df, baseline)
+    outs = full_validation(spark, df, baseline, rules)
     if sink_dir:
         outs["all_violations"].write.mode("overwrite").parquet(f"{sink_dir}/violations")
         sunk = spark.read.parquet(f"{sink_dir}/violations")

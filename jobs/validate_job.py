@@ -92,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
 
     t0 = time.perf_counter()
-    outs = pipeline.full_validation(spark, df, baseline)
+    outs = pipeline.full_validation(spark, df, baseline, rules=rules)
     outs["all_violations"].write.mode("overwrite").parquet(f"{args.sink}/violations")
     outs["partition_summary"].write.mode("overwrite").parquet(f"{args.sink}/partition_summary")
     outs["drift"].write.mode("overwrite").parquet(f"{args.sink}/drift")
