@@ -4,7 +4,7 @@ transcript table — few, fat Catalyst plans, not many thin ones.
 This is the north-rule workload — the batch analog of the reference's
 entire event loop (classify -> enrich -> aggregate -> dedup -> report,
 cmd/cerberus/main.go:153-211 + internal/monitor/monitor.go:197-408),
-re-expressed over one scan-friendly source as FOUR materialized
+re-expressed over one scan-friendly source as FIVE materialized
 outputs:
 
   1. all_violations     — rule violations ∪ uniqueness dups ∪
@@ -17,8 +17,8 @@ outputs:
 
 Job count matters: every Spark action pays driver-side planning +
 scheduling that does NOT parallelize — with 9 separate actions the
-Amdahl term capped measured N->4N scaling efficiency at ~0.55; with 4
-it clears the >=0.8 criterion.  Per-step scale shape: rule eval is
+Amdahl term capped measured N->4N scaling efficiency at ~0.55; with 5
+fat actions it clears the >=0.8 criterion (0.816 full-machine).  Per-step scale shape: rule eval is
 scan + codegen (shuffle-free), uniqueness shuffles |distinct keys|
 after map-side partial agg, referential is broadcast (map-side only),
 drift shuffles histogram-sized data.  Nothing collects more than
@@ -239,7 +239,7 @@ def run_full_validation(
     sink_dir: str | None = None,
     rules: dict | None = None,
 ) -> None:
-    """Materialize every check (the benched unit of work): 4 actions.
+    """Materialize every check (the benched unit of work): 5 actions.
 
     With ``sink_dir`` the violations land in a real parquet sink and
     the (field, rule) summary is derived FROM the sink — the production
