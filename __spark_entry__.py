@@ -11,6 +11,7 @@ are computed on the rounded values with total tiebreaks.
 
 from __future__ import annotations
 
+import os as _os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -341,12 +342,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     queries_df = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
-    out = ivf_topk(emb, queries_df, centroids, k=3)
-    # re-rank on ROUNDED sim with total tiebreak so float noise can't
-    # flip cross-engine ranks
-    r = out.select("query_id", "neighbor_id", F.round(F.col("sim"), 4).alias("sim"))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
-    return r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+    # sim is rounded INSIDE ivf_topk before its ranking window, so the
+    # k-truncation itself is bit-stable across engines
+    return ivf_topk(emb, queries_df, centroids, k=3).select(
+        "query_id", "neighbor_id", "sim", "rk"
+    )
 
 
 def q_semi_join_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -493,10 +493,16 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing through the contract: deterministic synthetic
     media table (binary payload + typed metadata) -> Arrow-batched
-    feature extraction (stubbed decode).  No oracle_sql entry on
-    purpose: the fake decoder is sha256-of-bytes, which is the part a
-    real deployment swaps for PIL/ffmpeg — the driver's rows-only check
-    covers the Spark-side schema/batching, which IS the deliverable."""
+    feature extraction (stubbed decode).
+
+    FULLY oracle-checked: the stub decoder is sha256-of-payload sliced
+    into 16 little-endian uint16s (/65535 as float32), and the payload
+    is 'payload-' || md5(id) — all SQL-expressible, so DuckDB recovers
+    the exact integers via hex arithmetic on sha256().  The query
+    renders features as the recovered uint16 CSV string
+    (round(f·65535) is exact: float32 quantization error ≪ 0.5), so
+    the hash compare is float-free.  A real deployment swaps only
+    _fake_decode for PIL/ffmpeg."""
     from cerberus_spark.functions.multimodal import extract_features, synthesize_media
 
     media = synthesize_media(spark, 512)
@@ -505,7 +511,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "kind",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.array_join(
+            F.transform(
+                "features",
+                lambda x: F.round(x.cast("double") * 65535).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("features_u16"),
     )
 
 
@@ -570,6 +582,49 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
+
+
+def q_regex_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression guard for regex-rule anchoring: a top-level
+    alternation pattern ('click|view') must be compiled as
+    ^(?:click|view)$ — the naive '^'+pat+'$' parses as (^click)|(view$)
+    and silently passes values like 'click-0'.  The derived tag column
+    is event_type for every 5th user and event_type+'-'+bit otherwise,
+    so both match and non-match arms carry data."""
+    ev = _t(spark, sf_dir, "events")
+    tag = F.when(
+        F.pmod(F.col("user_id"), F.lit(5)) == 0, F.col("event_type")
+    ).otherwise(
+        F.concat(
+            F.col("event_type"),
+            F.lit("-"),
+            F.pmod(F.col("user_id"), F.lit(2)).cast("string"),
+        )
+    )
+    tagged = ev.select("event_id", tag.alias("tag"))
+    res = validate(tagged, REGEX_ALT_RULES, key_cols=["event_id"])
+    return res.violations().select("event_id", "field", "rule", "value")
+
+
+_SERVICE_CSV = f"{_os.path.dirname(_os.path.abspath(__file__))}/tests/fixtures/service_ports.csv"
+
+
+def q_csv_dim_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/F7 analog: file-based dimension ingest (IANA-style service
+    CSV: header skip, port-range-row skip, cast, uppercase, per-proto
+    split — reference internal/databases/service.go:157-208) feeding a
+    broadcast lookup-with-default enrichment (service.go:414-442)."""
+    from cerberus_spark.sources.csv_dim import load_service_ports, service_lookup
+
+    dim = load_service_ports(spark, _SERVICE_CSV)
+    ev = _t(spark, sf_dir, "events").select(
+        F.pmod(F.col("user_id"), F.lit(100)).cast("int").alias("port")
+    )
+    enriched = service_lookup(ev, dim, "port", proto="TCP", default="UNKNOWN")
+    return enriched.groupBy("service").agg(F.count(F.lit(1)).alias("n_events"))
+
+
 # ---------------------------------------------------------------------------
 # queries — dedup / similarity
 # ---------------------------------------------------------------------------
@@ -606,18 +661,43 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", simhash64(F.col("text"), shingle_k=2).alias("simhash"))
 
 
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hamming-neighbor search over 60-bit simhashes: 6 bands of
+    10 bits -> equi-join on (band_idx, band_bits) -> verify true
+    hamming ≤ 5.  Exact recall at that radius by pigeonhole; the same
+    one-shuffle bucket shape as MinHash LSH (never all-pairs)."""
+    from cerberus_spark.operators.dedup import simhash_candidates
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return simhash_candidates(
+        docs, "text", "doc_id", shingle_k=2, n_bits=60, bands=6, max_hamming=5
+    )
+
+
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard with stop-shingle removal ON (df_cap): shingles in
+    more than df_cap documents are dropped before the self-join, which
+    bounds every join bucket at df_cap·(df_cap−1)/2 rows — the guard
+    that keeps one hot boilerplate phrase from going quadratic at
+    100 TB.  Jaccard is over the capped sets (sizes recomputed)."""
+    pairs = ngram_jaccard_pairs(
+        spread(_t(spark, sf_dir, "documents")),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.2,
+        df_cap=8,
+    )
+    return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
-    scored = cosine_topk(emb, queries_df, k=3)
-    # rank on ROUNDED sim in both engines so float noise can't flip ranks
-    r = scored.select(
-        "query_id", "neighbor_id", F.round(F.col("sim"), 4).alias("sim")
+    # cosine_topk ranks on ROUNDED sim internally (same in the oracle)
+    return cosine_topk(emb, queries_df, k=3).select(
+        "query_id", "neighbor_id", "sim", "rk"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return r.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -654,7 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "multimodal_features": q_multimodal_features,  # rows-only: no oracle (stubbed decode)
+        "multimodal_features": q_multimodal_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
         "doc_fingerprints": q_doc_fingerprints,
@@ -662,8 +742,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "simhash": q_simhash,
+        "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
+        "regex_alternation": q_regex_alternation,
+        "csv_dim_lookup": q_csv_dim_lookup,
     }
 
 
@@ -803,6 +887,95 @@ WITH docs AS (
 )
 SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN folded f ON d.doc_id = f.doc_id
+"""
+    simhash_cand_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh2.replace('w', f'({_WORDS})')} AS sh FROM documents
+  WHERE len({_WORDS}) >= 2
+), hx AS (
+  SELECT doc_id, {_MD5_I64.format(expr="s")} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM docs)
+), bitsum AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM hx CROSS JOIN range(60) r(b)
+  GROUP BY doc_id, b
+), folded AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS simhash
+  FROM bitsum GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id AS id, coalesce(f.simhash, 0)::BIGINT AS sh
+  FROM docs d LEFT JOIN folded f ON d.doc_id = f.doc_id
+), ex AS (
+  SELECT id, sh, b AS band_idx, (sh >> CAST(10 * b AS INT)) & 1023 AS band_bits
+  FROM sigs CROSS JOIN range(6) r(b)
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(min(bit_count(xor(a.sh, b.sh))) AS INT) AS hamming
+  FROM ex a JOIN ex b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.id < b.id
+  GROUP BY 1, 2
+) WHERE hamming <= 5
+"""
+    jaccard_capped_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
+), exh AS (
+  SELECT doc_id, {_MD5_I64.format(expr="s")} AS s
+  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)
+), hot AS (
+  SELECT s FROM exh GROUP BY s HAVING count(*) > 8
+), kept AS (
+  SELECT doc_id, s FROM exh WHERE s NOT IN (SELECT s FROM hot)
+), sizes AS (
+  SELECT doc_id, count(*)::INT AS n_sh FROM kept GROUP BY doc_id
+), ex AS (
+  SELECT k.doc_id, z.n_sh, k.s FROM kept k JOIN sizes z USING (doc_id)
+), shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*)::BIGINT AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(n_shared::DOUBLE / (n_a + n_b - n_shared), 4) AS jaccard
+FROM shared
+WHERE n_shared::DOUBLE / (n_a + n_b - n_shared) >= 0.2
+"""
+    multimodal_sql = """
+WITH m AS (
+  SELECT media_id, sha256('payload-' || md5(CAST(media_id AS VARCHAR))) AS hx
+  FROM range(0, 512) t(media_id)
+)
+SELECT media_id,
+       CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       40::BIGINT AS n_bytes,
+       array_to_string(
+         list_transform(range(0, 16),
+           j -> CAST(('0x' || substr(hx, 4*j + 3, 2) || substr(hx, 4*j + 1, 2)) AS INT)),
+         ',') AS features_u16
+FROM m
+"""
+    csv_dim_sql = f"""
+WITH dim0 AS (
+  SELECT upper(trim("Service Name")) AS service,
+         trim("Port Number") AS port_s,
+         upper(trim("Transport Protocol")) AS proto
+  FROM read_csv('{_SERVICE_CSV}', header=true, all_varchar=true)
+), dim1 AS (
+  SELECT TRY_CAST(port_s AS INT) AS port, proto, service FROM dim0
+  WHERE service IS NOT NULL AND service <> ''
+    AND port_s IS NOT NULL AND port_s NOT LIKE '%-%'
+), dim AS (
+  SELECT port, proto, min(service) AS service
+  FROM dim1 WHERE port BETWEEN 1 AND 65535 GROUP BY port, proto
+)
+SELECT coalesce(d.service, 'UNKNOWN') AS service, count(*)::BIGINT AS n_events
+FROM (SELECT CAST(user_id % 100 AS INT) AS port FROM events) e
+LEFT JOIN (SELECT port, service FROM dim WHERE proto = 'TCP') d ON e.port = d.port
+GROUP BY 1
 """
     cosine_sql = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
@@ -1136,8 +1309,23 @@ SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
         "minhash_signatures": minhash_sig_sql,
         "minhash_candidates": minhash_cand_sql,
         "ngram_jaccard": jaccard_sql,
+        "ngram_jaccard_capped": jaccard_capped_sql,
         "simhash": simhash_sql,
+        "simhash_candidates": simhash_cand_sql,
         "cosine_topk": cosine_sql,
+        "multimodal_features": multimodal_sql,
+        "csv_dim_lookup": csv_dim_sql,
+        "regex_alternation": """
+WITH tagged AS (
+  SELECT event_id,
+         CASE WHEN user_id % 5 = 0 THEN event_type
+              ELSE event_type || '-' || CAST(user_id % 2 AS VARCHAR) END AS tag
+  FROM events
+)
+SELECT event_id, 'tag' AS field, 'regex' AS rule, CAST(tag AS VARCHAR) AS value
+FROM tagged
+WHERE tag IS NOT NULL AND NOT regexp_full_match(tag, 'click|view')
+""",
         "salted_label_counts": """
 SELECT user_id, event_type, count(*)::BIGINT AS n
 FROM events GROUP BY user_id, event_type

@@ -19,6 +19,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -40,6 +42,19 @@ def normalize_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+# Java regex \s (and DuckDB's RE2 \s) is ASCII-only; Python's is
+# Unicode-aware.  The vectorized Python twins below must split on the
+# SAME set or texts containing U+00A0/U+2028 etc. shingle differently
+# than the columnar path and the oracle.
+_ASCII_WS = " \t\n\x0b\f\r"
+_ASCII_WS_RE = re.compile(f"[{_ASCII_WS}]+")
+
+
+def _normalize_py(text: str) -> str:
+    """Python twin of :func:`normalize_text` (ASCII-whitespace only)."""
+    return _ASCII_WS_RE.sub(" ", text.lower()).strip(_ASCII_WS)
+
+
 def fingerprint(col: Column) -> Column:
     """Exact-dup document fingerprint: md5 of normalized text."""
     return F.md5(normalize_text(col))
@@ -55,7 +70,34 @@ def first_occurrence(
     """Keep only the first row per key under a deterministic order —
     the batch analog of SeenPatterns first-sighting alerts
     (monitor.go:370-395), made deterministic (the reference's in-memory
-    set is arrival-order dependent)."""
+    set is arrival-order dependent).
+
+    Implemented as ``min_by(struct(payload), struct(order))`` — a real
+    aggregate with a map-side partial, so only one candidate row per
+    key per input partition reaches the shuffle.  The window form
+    (:func:`first_occurrence_window`) shuffles and sorts EVERY row to
+    rank it, then throws all but one away — at 100x the data that sort
+    is the bottleneck; the aggregate form shuffles ~|keys| rows.
+    ``order_by`` must be a total order within each key group (include a
+    unique tiebreak column) or the winner is undefined.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    ordk = F.struct(*[F.col(c) for c in order_by])
+    agg = df.groupBy(*keys).agg(
+        F.min_by(F.struct(*[F.col(c) for c in payload]), ordk).alias("_row")
+    )
+    unpacked = agg.select(
+        *keys, *[F.col(f"_row.{c}").alias(c) for c in payload]
+    )
+    return unpacked.select(*df.columns)
+
+
+def first_occurrence_window(
+    df: DataFrame, keys: list[str], order_by: list[str]
+) -> DataFrame:
+    """Window-ranked variant of :func:`first_occurrence` — same winner,
+    but keeps the machinery callers need when they want the full rank
+    (rn column / first-N-per-key), at the cost of a full shuffle+sort."""
     w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order_by])
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -179,7 +221,6 @@ def _minhash_signatures_arrow(
     """Arrow-batched twin of the columnar MinHash (same normalize/
     shingle/md5 pipeline, numpy for the (a·h+b) mod P minima)."""
     import hashlib
-    import re as _re
 
     import numpy as np
     import pandas as pd
@@ -188,7 +229,6 @@ def _minhash_signatures_arrow(
     a_vec = np.array([a for a, _ in coeffs], dtype=np.int64)
     b_vec = np.array([b for _, b in coeffs], dtype=np.int64)
     k = shingle_k
-    ws_re = _re.compile(r"\s+")
     id_field = df.schema[id_col]
 
     def compute(batches):
@@ -197,7 +237,7 @@ def _minhash_signatures_arrow(
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                words = ws_re.sub(" ", text.lower()).strip().split(" ")
+                words = _normalize_py(text).split(" ")
                 if len(words) < k:
                     continue
                 shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
@@ -293,11 +333,9 @@ def shingle_hash_rows(
     Python by ~10x on shingling, and this runs the subtree once even
     when consumed twice by a self-join)."""
     import hashlib
-    import re as _re
 
     import pandas as pd
 
-    ws_re = _re.compile(r"\s+")
     id_field = df.schema[id_col]
 
     def compute(batches):
@@ -306,7 +344,7 @@ def shingle_hash_rows(
             for rid, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                words = ws_re.sub(" ", text.lower()).strip().split(" ")
+                words = _normalize_py(text).split(" ")
                 if len(words) < k:
                     continue
                 shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
@@ -344,6 +382,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     impl: str = "arrow",
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over k-word shingles for all pairs sharing ≥1
     shingle: (id_a, id_b, jaccard).
@@ -353,8 +392,18 @@ def ngram_jaccard_pairs(
     shingle, not the string — ~3x less shuffle volume, same pairs (and
     any astronomically-unlikely collision is reproduced identically by
     the oracle, which joins on the same hash).  Only documents with
-    overlap ever meet; at 100 TB add a document-frequency cap on
-    shingles (stop-shingle removal) to bound the hottest keys.
+    overlap ever meet.
+
+    ``df_cap`` (stop-shingle removal) is the scale guard: a shingle
+    appearing in d documents contributes d·(d−1)/2 join rows, so ONE
+    boilerplate phrase shared by 10⁶ docs at 100 TB produces ~5·10¹¹
+    pairs in a single bucket — quadratic skew no partitioning fixes.
+    With a cap, shingles with document frequency > df_cap are dropped
+    BEFORE the self-join (one extra count-by-shingle pass, same
+    shuffle key), bounding every bucket at df_cap·(df_cap−1)/2 rows.
+    Jaccard is then computed over the capped shingle sets (sizes are
+    recomputed after the drop); documents whose shingles are all hot
+    no longer pair — the standard recall trade of stop-word removal.
     """
     if impl == "arrow":
         # n_sh rides along on every exploded row, so the sizes join
@@ -367,6 +416,24 @@ def ngram_jaccard_pairs(
         ex = base.select(
             "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle_s")
         ).select("id", "n_sh", md5_i64(F.col("shingle_s")).alias("shingle"))
+    if df_cap is not None:
+        # hot set = shingles with df > cap: tiny relative to the corpus
+        # (≤ total_shingle_rows / cap), so the anti-join broadcasts
+        # under AQE; both aggs are partial-combined map-side
+        hot = (
+            ex.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("shingle")
+        )
+        kept = ex.join(hot, "shingle", "left_anti")
+        sizes = kept.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+        ex = (
+            kept.drop("n_sh")
+            .join(sizes, "id")
+            .withColumnRenamed("_n", "n_sh")
+            .select("id", "n_sh", "shingle")
+        )
     a = ex.alias("a")
     b = ex.alias("b")
     shared = (
@@ -429,3 +496,73 @@ def simhash64(col: Column, shingle_k: int = 2, n_bits: int = 60) -> Column:
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash64 values."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+    n_bits: int = 60,
+    bands: int = 6,
+    max_hamming: int = 5,
+) -> DataFrame:
+    """SimHash near-dup pairs via banded hamming-neighbor search:
+    (id_a, id_b, hamming) with hamming ≤ ``max_hamming``, id_a < id_b.
+
+    The n_bits signature is split into ``bands`` equal chunks; two
+    signatures within hamming distance ``bands − 1`` must agree on at
+    least one whole band (pigeonhole), so an equi-join on
+    (band_idx, band_bits) finds every such pair without an all-pairs
+    scan — the same one-shuffle bucket shape as
+    :func:`minhash_dup_candidates`.  With the defaults (6 bands of 10
+    bits) recall is EXACT for hamming ≤ 5.  Candidates are verified
+    with the true hamming distance and deduped per pair.
+
+    Docs with fewer than ``shingle_k`` words are excluded up front:
+    their signature would be the all-zero vector and every such doc
+    would spuriously pair with every other.
+    """
+    if n_bits % bands:
+        raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    words_n = F.size(F.split(normalize_text(F.col(text_col)), " "))
+    sigs = df.filter(words_n >= shingle_k).select(
+        F.col(id_col).alias("id"),
+        simhash64(F.col(text_col), shingle_k, n_bits).alias("sh"),
+    )
+    # shuffle barrier: the simhash is an expensive interpreted
+    # higher-order-function tree; without the Exchange, CollapseProject
+    # would inline it into every one of the `bands`+1 consumers below
+    # (same trick as the columnar MinHash impl)
+    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.shiftright(F.col("sh"), b * width).bitwiseAND(F.lit(mask)).alias("band_bits"),
+        )
+        for b in range(bands)
+    ]
+    ex = sigs.select(
+        "id", "sh", F.explode(F.array(*band_structs)).alias("b")
+    ).select("id", "sh", "b.band_idx", "b.band_bits")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            simhash_hamming(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        # a pair sharing m bands appears m times; min() is a no-op
+        # arithmetically (same pair -> same distance) but dedupes
+        .groupBy("id_a", "id_b")
+        .agg(F.min("hamming").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

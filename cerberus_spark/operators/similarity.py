@@ -43,6 +43,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    round_to: int = 4,
 ) -> DataFrame:
     """Exact top-k neighbors for every query vector.
 
@@ -51,6 +52,11 @@ def cosine_topk(
     only the (q × k)-sized ranked result shuffles for the window.
     Output: (query_id, neighbor_id, sim, rk), self-matches excluded,
     deterministic ties (sim desc, neighbor_id asc).
+
+    ``sim`` is ROUNDED (``round_to``) before the ranking window: a
+    truncate-at-k on raw doubles followed by any downstream rounded
+    re-rank could select a different neighbor set than another engine
+    when a rounded tie straddles the k boundary.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -64,7 +70,7 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -154,10 +160,14 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    round_to: int = 4,
 ) -> DataFrame:
     """Approximate top-k: search only the query's centroid bucket
     (probes=1).  Recall trades off with #centroids; the candidate join
-    is an equi-join on bucket — shuffle-light at scale."""
+    is an equi-join on bucket — shuffle-light at scale.
+
+    As in :func:`cosine_topk`, ``sim`` is rounded before the ranking
+    window so the truncation at k is bit-stable across engines."""
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col)
     q_assign = ivf_assign(queries, centroids, id_col, vec_col)
     c = corpus.join(c_assign, id_col).select(
@@ -172,7 +182,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_to).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -80,11 +80,20 @@ def normalize_unit(col: F.Column) -> F.Column:
 
 
 def input_units(df_path_glob: str, spark: SparkSession) -> DataFrame:
-    """Work units = input files (stable split identifiers)."""
+    """Work units = input files (stable split identifiers).
+
+    ``unit`` is the scheme-stripped canonical id used as the audit join
+    key; ``path`` keeps the ORIGINAL URI (scheme + authority intact) so
+    callers that need to re-read a unit target the right filesystem —
+    normalizing 's3a://bucket/key' to '/bucket/key' is fine for a key,
+    wrong for a read."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
         .load(df_path_glob)
-        .select(normalize_unit(F.col("path")).alias("unit"))
+        .select(
+            normalize_unit(F.col("path")).alias("unit"),
+            F.col("path").alias("path"),
+        )
     )
     return files

@@ -216,22 +216,32 @@ def compile_schema(
             rules.append(CompiledRule(fname, "min", _null_gate(col, col < F.lit(fr["min"]))))
         if "max" in fr:
             rules.append(CompiledRule(fname, "max", _null_gate(col, col > F.lit(fr["max"]))))
+        # length vs size: strings/binary use F.length; arrays/maps use
+        # F.size (F.length on an ArrayType raises AnalysisException at
+        # plan time).  Decide from the actual DataFrame type when we
+        # have it, else from the declared logical type.
+        if df_schema is not None:
+            _is_collection = isinstance(
+                fields_by_name[fname].dataType, (T.ArrayType, T.MapType)
+            )
+        else:
+            _is_collection = want in ("list", "dict")
+        length_fn = F.size if _is_collection else F.length
         if "minlength" in fr:
             rules.append(
-                CompiledRule(fname, "minlength", _null_gate(col, F.length(col) < int(fr["minlength"])))
+                CompiledRule(fname, "minlength", _null_gate(col, length_fn(col) < int(fr["minlength"])))
             )
         if "maxlength" in fr:
             rules.append(
-                CompiledRule(fname, "maxlength", _null_gate(col, F.length(col) > int(fr["maxlength"])))
+                CompiledRule(fname, "maxlength", _null_gate(col, length_fn(col) > int(fr["maxlength"])))
             )
         if "regex" in fr:
-            # Cerberus semantics: the WHOLE value must match.
-            pat = fr["regex"]
-            anchored = pat
-            if not anchored.startswith("^"):
-                anchored = "^" + anchored
-            if not anchored.endswith("$"):
-                anchored = anchored + "$"
+            # Cerberus semantics: the WHOLE value must match
+            # (re.fullmatch in the python twin).  Anchor with a
+            # non-capturing group: "^" + "cat|dog" + "$" would parse as
+            # (^cat)|(dog$) because alternation binds looser than the
+            # anchors, wrongly matching "category".
+            anchored = f"^(?:{fr['regex']})$"
             rules.append(CompiledRule(fname, "regex", _null_gate(col, ~col.rlike(anchored))))
         if fr.get("empty", True) is False:
             rules.append(CompiledRule(fname, "empty", _null_gate(col, F.length(col) == 0)))

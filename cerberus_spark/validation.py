@@ -100,11 +100,18 @@ class ValidationResult:
           through Arrow costs ~80 bytes/row of pipe bandwidth that the
           native form avoids.
         """
+        # reuse a pre-captured _file column when the caller tagged the
+        # scan already (e.g. checkpoint-resume semi-joins the scan
+        # against a file listing — input_file_name() is illegal above a
+        # plan with two file sources, so it must be captured below the
+        # join and carried through)
+        ann = self.annotated
+        if "_file" not in ann.columns:
+            ann = ann.withColumn("_file", F.input_file_name())
         if impl == "native":
             return (
-                self.annotated.select(PASSED_COL)
+                ann.select(PASSED_COL, "_file")
                 .withColumn("partition_id", F.spark_partition_id())
-                .withColumn("_file", F.input_file_name())
                 .groupBy("partition_id")
                 .agg(
                     F.sort_array(F.collect_set("_file")).alias("files"),
@@ -113,9 +120,7 @@ class ValidationResult:
                 )
                 .withColumn("n_fail", F.col("rows") - F.col("n_pass"))
             )
-        src = self.annotated.withColumn("_file", F.input_file_name()).select(
-            PASSED_COL, "_file"
-        )
+        src = ann.select(PASSED_COL, "_file")
 
         def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from pyspark import TaskContext

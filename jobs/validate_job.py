@@ -79,15 +79,34 @@ def main(argv: list[str] | None = None) -> int:
     df = spark.read.parquet(args.input)
 
     audit = None
+    resume_tagged = None
     if args.resume:
         audit = AuditLog(spark, args.resume)
         units = input_units(args.input, spark)
         todo = audit.pending(units)
-        paths = [r["unit"] for r in todo.collect()]  # one row per FILE, not per data row
-        if not paths:
+        if todo.isEmpty():  # file-count-sized check, not data-sized
             print(json.dumps({"status": "nothing_to_do"}))
             return 0
-        df = spark.read.parquet(*paths)
+        # Scale-safe resume: semi-join the scan against the pending
+        # unit set instead of collect()-ing a driver-side path list
+        # (10^6 files at 100 TB would be a multi-hundred-MB list and an
+        # astronomical read.parquet(*paths) plan string).  Reads keep
+        # the ORIGINAL scan; the scheme-stripped form is only the audit
+        # join key.  input_file_name() is captured ONCE here, directly
+        # above the parquet relation — Spark forbids it above a plan
+        # with two file sources, and the audit step below needs it.
+        tagged = df.withColumn("_file", F.input_file_name()).withColumn(
+            "_unit", normalize_unit(F.col("_file"))
+        )
+        # pending side is one row per FILE -> broadcast
+        resume_tagged = tagged.join(
+            F.broadcast(todo.select(F.col("unit").alias("_unit"))),
+            "_unit",
+            "left_semi",
+        ).drop("_unit")
+        # keep _file: downstream lineage (partition_summary, audit)
+        # reuses it instead of re-calling input_file_name()
+        df = resume_tagged
 
     baseline = spark.read.parquet(args.baseline) if args.baseline else None
 
@@ -106,7 +125,7 @@ def main(argv: list[str] | None = None) -> int:
     wall = time.perf_counter() - t0
 
     if audit is not None:
-        res = validate(df.withColumn("_file", F.input_file_name()), rules)
+        res = validate(resume_tagged, rules)
         per_file = (
             res.annotated.groupBy(normalize_unit(F.col("_file")).alias("unit"))
             .agg(

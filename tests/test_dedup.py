@@ -22,6 +22,9 @@ DOCS = [
     (3, "THE  quick   Brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0 (normalized)
     (4, "short text"),
     (5, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    # non-ASCII whitespace (NBSP, LINE SEP): Java/RE2 \s does NOT split
+    # here — the Python/Arrow twins must agree (ASCII-ws-only split)
+    (6, "tabbed\twords and nbsp glued linesep tokens kept intact"),
 ]
 
 
@@ -93,7 +96,10 @@ def test_simhash_distance(spark, docs_df):
 
 def test_minhash_arrow_columnar_bit_identical(spark, docs_df):
     """The Arrow (mapInPandas) and pure-Catalyst MinHash impls must
-    produce byte-identical signatures — same normalize/shingle/md5."""
+    produce byte-identical signatures — same normalize/shingle/md5.
+    DOCS includes a non-ASCII-whitespace document: Python's \\s is
+    Unicode-aware while Java's is ASCII-only, so the Arrow path must
+    split on the ASCII set or doc 6 shingles differently."""
     arrow = {
         r.doc_id: r.sig
         for r in minhash_signatures(docs_df, "text", "doc_id", 16, impl="arrow").collect()
@@ -103,3 +109,49 @@ def test_minhash_arrow_columnar_bit_identical(spark, docs_df):
         for r in minhash_signatures(docs_df, "text", "doc_id", 16, impl="columnar").collect()
     }
     assert arrow == columnar and len(arrow) > 0
+    assert 6 in arrow  # the unicode-ws doc made it through both paths
+
+
+def test_ngram_jaccard_arrow_columnar_identical(spark, docs_df):
+    """Same cross-impl guarantee for the shingle-hash explode path."""
+    a = ngram_jaccard_pairs(docs_df, "text", "doc_id", k=3, threshold=0.1, impl="arrow")
+    c = ngram_jaccard_pairs(docs_df, "text", "doc_id", k=3, threshold=0.1, impl="columnar")
+    pa = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in a.collect())
+    pc = sorted((r.id_a, r.id_b, round(r.jaccard, 9)) for r in c.collect())
+    assert pa == pc and len(pa) > 0
+
+
+def test_simhash_candidates_banded(spark, docs_df):
+    """Banded hamming search finds exact-dup clusters and never pairs
+    unrelated docs; short docs (< shingle_k words) are excluded."""
+    from cerberus_spark.operators.dedup import simhash_candidates
+
+    cands = simhash_candidates(
+        docs_df, "text", "doc_id", shingle_k=2, bands=6, max_hamming=5
+    )
+    got = {(r.id_a, r.id_b): r.hamming for r in cands.collect()}
+    assert got[(0, 3)] == 0 and got[(0, 5)] == 0 and got[(3, 5)] == 0
+    assert not any(2 in p for p in got)
+    for (a, b), h in got.items():
+        assert a < b and 0 <= h <= 5
+
+
+def test_ngram_df_cap_drops_hot_shingles(spark):
+    """With a document-frequency cap, pairs supported ONLY by a hot
+    (boilerplate) shingle disappear, while pairs sharing rare shingles
+    survive — and the join input is bounded per shingle."""
+    boiler = "all rights reserved by the example corporation"
+    rows = [(i, f"{boiler} unique tail number {i} content") for i in range(10)]
+    rows += [
+        (100, "rare payload alpha beta gamma delta epsilon zeta"),
+        (101, "rare payload alpha beta gamma delta epsilon eta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.2)
+    capped = ngram_jaccard_pairs(df, "text", "doc_id", k=3, threshold=0.2, df_cap=5)
+    pu = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    pcap = {(r.id_a, r.id_b) for r in capped.collect()}
+    # boilerplate-only pairs exist uncapped (45 of them), vanish capped
+    assert (0, 1) in pu and (0, 1) not in pcap
+    # the rare-shingle near-dup pair survives the cap
+    assert (100, 101) in pu and (100, 101) in pcap

@@ -99,6 +99,34 @@ def test_broadcast_join_for_small_dim(spark, sf_dir="/root/testdata/sf0.001"):
     assert "BroadcastHashJoin" in plan, plan
 
 
+def test_first_occurrence_is_partial_aggregate(spark, transcripts_parquet):
+    """first_occurrence must compile to an aggregate with a MAP-SIDE
+    PARTIAL (only one group-winner row per key per input partition
+    crosses the single exchange), not a window rank (which shuffles and
+    sorts EVERY row only to discard all but one per key)."""
+    from cerberus_spark.operators.dedup import first_occurrence
+
+    plan = plan_of(first_occurrence(transcripts_parquet, ["conv_id"], ["turn_idx"]))
+    assert "partial_min_by" in plan, plan
+    assert n_exchanges(plan) == 1, plan
+    assert "Window" not in plan, plan
+    # no GLOBAL sort: any Sort present is the partition-local ordering
+    # SortAggregate requires (min_by's struct buffer is not
+    # hash-aggregable), marked global=false in the formatted plan
+    for m in re.finditer(r"Arguments: \[[^\]]*\], (true|false), 0", plan):
+        assert m.group(1) == "false", plan
+
+
+def test_first_occurrence_agg_matches_window(spark, transcripts_parquet):
+    from cerberus_spark.operators.dedup import first_occurrence, first_occurrence_window
+
+    a = first_occurrence(transcripts_parquet, ["conv_id", "role"], ["turn_idx"])
+    b = first_occurrence_window(transcripts_parquet, ["conv_id", "role"], ["turn_idx"])
+    ka = sorted((r.conv_id, r.role, r.turn_idx) for r in a.collect())
+    kb = sorted((r.conv_id, r.role, r.turn_idx) for r in b.collect())
+    assert ka == kb and len(ka) > 0
+
+
 def test_bucketed_join_is_colocated_no_shuffle(spark, transcripts_parquet, tmp_path_factory):
     """Bucketing both sides on the join key pre-partitions data at
     write time — the join then needs NO exchange (the 100 TB co-located

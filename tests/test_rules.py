@@ -58,6 +58,41 @@ def test_full_ruleset_parity(spark):
     assert spark_violations(spark, RULES) == python_violations(RULES)
 
 
+def test_regex_alternation_is_fully_anchored(spark):
+    """'cat|dog' must full-match like re.fullmatch: '^'+pat+'$' would
+    parse as (^cat)|(dog$) and wrongly accept 'category'/'hotdog'."""
+    rows = [(0, "cat"), (1, "dog"), (2, "category"), (3, "hotdog"), (4, "catalog"), (5, None)]
+    df = spark.createDataFrame(rows, "id int, v string")
+    rules = {"v": {"type": "string", "regex": "cat|dog"}}
+    res = validate(df, rules, key_cols=["id"])
+    bad = sorted(r.value for r in res.violations().collect())
+    assert bad == ["catalog", "category", "hotdog"]
+    # parity with the python twin (re.fullmatch)
+    twin = sorted(
+        row["v"]
+        for row in [dict(id=i, v=x) for i, x in rows]
+        for _f, _rule, _v in python_validate(row, rules)
+    )
+    assert twin == bad
+
+
+def test_length_rules_on_list_fields(spark):
+    """minlength/maxlength compile to F.size for array columns (F.length
+    is string-only and raises at plan time)."""
+    rows = [(0, []), (1, ["a"]), (2, ["a", "b", "c", "d"]), (3, None)]
+    df = spark.createDataFrame(rows, "id int, tags array<string>")
+    rules = {"tags": {"type": "list", "minlength": 1, "maxlength": 3}}
+    res = validate(df, rules, key_cols=["id"])
+    got = sorted((r.id, r.rule) for r in res.violations().collect())
+    assert got == [(0, "minlength"), (2, "maxlength")]
+    twin = sorted(
+        (row["id"], rule)
+        for row in [dict(id=i, tags=t) for i, t in rows]
+        for f, rule, _ in python_validate(row, rules)
+    )
+    assert twin == got
+
+
 @pytest.mark.parametrize(
     "rules",
     [
