@@ -582,6 +582,106 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join: each click gets the user's most
+    recent purchase at-or-before the click.  Union + carry-forward
+    window — ONE shuffle + ONE local sort, never a range join
+    (cerberus_spark.operators.asof; reference analog: state-as-of-event
+    read-through, internal/monitor/monitor.go:265-276)."""
+    from cerberus_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 30)
+    ).select("event_id", "user_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 2).alias("p_value"))
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", ["p_value"], suffix="_prev"
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_prev").alias("prev_purchase_ts"),
+        F.col("p_value_prev").alias("prev_purchase_value"),
+    )
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by key hash (90/5/5): a
+    record's split is a pure function of doc_id — stable across runs,
+    partitionings, and engines (no RNG, no shuffle)."""
+    from cerberus_spark.operators.sample import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training-batch assembly: contiguous-fill
+    packing of documents into 512-token packs inside 8 hash buckets
+    (one shuffle + one local sort; true greedy packing is sequential
+    and cannot distribute — semantics documented in operators/pack.py)."""
+    from cerberus_spark.operators.pack import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_documents(
+        docs, "doc_id", token_count_ws(F.col("text")), budget=512, n_buckets=8
+    )
+    return packed.groupBy("bucket", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
+    )
+
+
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per-term document frequency + collection
+    frequency (explode -> one term-keyed shuffle, |vocab|-sized reduce)."""
+    from cerberus_spark.functions.text import vocabulary
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return vocabulary(docs, "text", "doc_id", min_df=25)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming tumbling-window aggregation (W1 proper):
+    readStream -> event-time window(1h) counts -> availableNow trigger,
+    complete mode (final counts; deterministic for a bounded replay —
+    the batch/SQL oracle must match exactly).  Bounded-state/late-data
+    handling via watermarks is exercised in streaming/validate_stream
+    (test_streaming_dedup); complete mode here keeps replay results
+    exact."""
+    import uuid
+
+    name = f"st_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("hour"), "event_type", "n_events"
+    )
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -748,6 +848,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "regex_alternation": q_regex_alternation,
         "csv_dim_lookup": q_csv_dim_lookup,
+        "asof_enrich": q_asof_enrich,
+        "hash_split": q_hash_split,
+        "pack_documents": q_pack_documents,
+        "vocab_stats": q_vocab_stats,
+        "stream_tumbling": q_stream_tumbling,
     }
 
 
@@ -1393,6 +1498,60 @@ WITH cent AS (
 SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
 """,
     }
+    out["asof_enrich"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events
+  WHERE event_type = 'click' AND user_id < 30
+), purch AS (
+  SELECT user_id, ts, round(max(value), 2) AS p_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id, c.ts,
+       p.ts AS prev_purchase_ts, p.p_value AS prev_purchase_value
+FROM clicks c ASOF LEFT JOIN purch p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+    split_bucket = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000"
+    )
+    out["hash_split"] = f"""
+WITH assigned AS (
+  SELECT n_chars,
+         CASE WHEN {split_bucket} < 9000 THEN 'train'
+              WHEN {split_bucket} < 9500 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM assigned GROUP BY split
+"""
+    n_tok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    out["pack_documents"] = f"""
+WITH toks AS (
+  SELECT doc_id, ({n_tok})::BIGINT AS n_tokens,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
+  FROM documents
+), packed AS (
+  SELECT bucket, n_tokens,
+         COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS pack_id
+  FROM toks
+)
+SELECT bucket, pack_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens
+FROM packed GROUP BY 1, 2
+"""
+    out["vocab_stats"] = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_WORDS}) AS term FROM documents
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
+FROM ex WHERE term <> ''
+GROUP BY term HAVING count(DISTINCT doc_id) >= 25
+"""
+    out["stream_tumbling"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
+"""
     # streaming path must produce EXACTLY the batch rule-summary counts
     out["stream_validate"] = out["validation_summary"]
     return out

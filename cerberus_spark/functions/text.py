@@ -109,6 +109,33 @@ def quality_score_milli(col: Column) -> Column:
     return (length_ok + punct_part + sw_part).alias("quality_milli")
 
 
+def vocabulary(df, text_col: str, id_col: str, min_df: int = 1):
+    """Corpus vocabulary statistics: one row per term with document
+    frequency (docs containing it) and collection frequency (total
+    occurrences).
+
+    explode normalized words -> ONE shuffle on term with map-side
+    partial aggregation; the per-term state is two counters, so the
+    reduce side is |vocab|-sized regardless of corpus size.  count
+    DISTINCT doc_id per term is the only expansion — Spark plans it as
+    a two-phase distinct-then-count, still keyed on term.
+    """
+    from cerberus_spark.operators.dedup import normalize_text
+
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    ex = df.select(F.col(id_col).alias("_doc"), F.explode(words).alias("term")).filter(
+        F.col("term") != ""
+    )
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count_distinct(F.col("_doc")).alias("df"),
+            F.count(F.lit(1)).alias("cf"),
+        )
+        .filter(F.col("df") >= min_df)
+    )
+
+
 def lang_id(col: Column) -> Column:
     """Marker-word language ID: pick the language with the most marker
     hits; ties and zero-hit rows -> 'und'.  First-match-wins via an

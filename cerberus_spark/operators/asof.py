@@ -1,0 +1,95 @@
+"""As-of (point-in-time) join: for every left row, the most recent
+right row at or before the left row's timestamp, per key.
+
+The classic time-series enrichment (market data, feature stores,
+"state as of event time").  The reference's analog is its read-through
+device-state lookup at event arrival time (internal/monitor/
+monitor.go:265-276) — here generalized to a set-oriented batch
+operator.
+
+Scale shape: a naive implementation is a range join
+(l.key = r.key AND r.ts <= l.ts) + argmax — the inequality makes every
+left row meet every earlier right row of its key, O(|L|·|R|) within
+key at worst.  Instead we use the union-and-carry-forward plan:
+
+    union(left-tagged, right-tagged)
+      -> ONE shuffle on key
+      -> ONE partition-local sort on (ts, side, tiebreak)
+      -> last(value, ignorenulls=True) running window carries each
+         right value forward until the next right row
+      -> keep left rows
+
+Cost is one shuffle + one sort of |L|+|R| rows — the same plan shape
+Spark uses for any window, linear in data, no range-join blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tiebreak: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of-backward join (inclusive: a right row AT the left
+    timestamp is visible).
+
+    Returns every ``left`` row plus, for each ``value_cols`` entry
+    ``v``, a column ``v + suffix`` holding the value from the latest
+    ``right`` row with ``right_ts`` <= ``left_ts`` on the same key
+    (NULL when no such row exists), and ``right_ts + suffix`` with its
+    timestamp.
+
+    ``tiebreak`` orders right rows sharing (key, ts) — pass a unique
+    right column for a deterministic winner (last in tiebreak order
+    wins, matching "latest write").
+    """
+    out_ts = right_ts + suffix
+    carried = [right_ts] + list(value_cols)
+    left_cols = left.columns
+    # side flag orders right rows BEFORE left rows at equal ts so an
+    # equal-timestamp right row is visible to the left row (inclusive)
+    l_tagged = left.select(
+        *left_cols,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast("long").alias("_tb"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carried],
+    )
+    tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
+    # right rows carry the (shared-name) key columns; every other left
+    # column rides as NULL through the union
+    r_tagged = right.select(
+        *[
+            F.col(c) if c in key_cols else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left_cols
+        ],
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        tb.alias("_tb"),
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    both = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_ats").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = both.select(
+        *left_cols,
+        F.col("_side"),
+        F.last(F.col(f"_r_{right_ts}"), ignorenulls=True).over(w).alias(out_ts),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(c + suffix)
+            for c in value_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).drop("_side")

@@ -417,9 +417,16 @@ def ngram_jaccard_pairs(
             "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle_s")
         ).select("id", "n_sh", md5_i64(F.col("shingle_s")).alias("shingle"))
     if df_cap is not None:
+        # Explicit shingle-keyed exchange: the consumers below (hot-set
+        # agg, anti-join, self-join sides) all need this distribution,
+        # so they share identical Exchange subtrees and exchange reuse
+        # caps the expensive shingle extraction at ~3 evaluations of the
+        # source (measured via accumulator; ~6 without reuse).  At very
+        # large scale the further lever is materializing the capped
+        # explode once (shuffle-backed checkpoint / persisted table).
+        ex = ex.repartition(F.col("shingle"))
         # hot set = shingles with df > cap: tiny relative to the corpus
-        # (≤ total_shingle_rows / cap), so the anti-join broadcasts
-        # under AQE; both aggs are partial-combined map-side
+        # (≤ total_shingle_rows / cap); count agg is partial-combined
         hot = (
             ex.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("_df"))

@@ -1,0 +1,52 @@
+"""Sequence packing: group documents into fixed-token-budget packs for
+LLM training-batch assembly.
+
+True greedy bin packing is inherently sequential (each decision depends
+on the previous pack's fill), so it cannot distribute.  The standard
+scale formulation is contiguous-fill packing inside hash buckets:
+
+  1. bucket = md5(doc_id) % n_buckets   — embarrassingly parallel
+  2. within a bucket, order docs deterministically (doc id)
+  3. running exclusive token sum -> pack_id = floor(cum / budget)
+
+One shuffle on bucket + one partition-local sort.  A document whose
+tokens straddle a boundary goes WHOLLY to the pack where it starts, so
+a pack can overflow the budget by at most max_doc_tokens − 1 (callers
+that need a hard cap pre-split long documents).  Deterministic and
+engine-portable — the DuckDB oracle reproduces pack ids exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from cerberus_spark.operators.dedup import md5_i64
+
+
+def pack_documents(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str | Column,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Assign (bucket, pack_id) to every document.
+
+    Output: input columns + ``bucket``, ``pack_id``, ``n_tokens``.
+    ``tokens_col`` may be a column name or an expression (e.g. a token
+    counter over the text column).
+    """
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    base = df.withColumn("n_tokens", tokens.cast("long")).withColumn(
+        "bucket", F.pmod(md5_i64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return base.withColumn(
+        "pack_id", F.floor(cum_excl / F.lit(budget)).cast("long")
+    )

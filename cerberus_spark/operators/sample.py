@@ -1,0 +1,65 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+Training-data pipelines need samples and train/val/test splits that are
+(a) reproducible across runs and engines, (b) stable under
+repartitioning, and (c) consistent for the same record everywhere —
+properties ``df.sample()`` (partition-seeded RNG) does not give.  Both
+operators here derive the decision purely from a record key via the
+engine-portable ``md5_i64`` hash, so membership is a pure function of
+the key: no shuffle, no RNG state, embarrassingly parallel, and the
+DuckDB oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cerberus_spark.operators.dedup import md5_i64
+
+
+def _bucket_10k(key: Column, salt: str) -> Column:
+    """Uniform bucket in [0, 10000) from a key column + salt string."""
+    return F.pmod(md5_i64(F.concat(key.cast("string"), F.lit(f"|{salt}"))), F.lit(10_000))
+
+
+def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "sample") -> DataFrame:
+    """Keep ~``rate`` (0..1, 0.01% resolution) of rows, chosen by key
+    hash — the same keys are kept on every run, engine, and partition
+    layout.  Pure filter: no shuffle, fully pushdown-friendly."""
+    threshold = int(round(rate * 10_000))
+    return df.filter(_bucket_10k(F.col(key_col), salt) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named fraction
+    (default train/val/test = 0.90/0.05/0.05) by key hash.
+
+    Assignment is a CASE over contiguous hash ranges — a record's split
+    never changes when data is added, reshuffled, or re-read, and
+    documents and their near-duplicates can be kept in the same split
+    by hashing a cluster id instead of the row id.
+    """
+    splits = splits or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    names = list(splits)
+    if len(names) == 1:
+        return df.withColumn("split", F.lit(names[0]))
+    bucket = _bucket_10k(F.col(key_col), salt)
+    expr = None
+    upper = 0
+    for name in names[:-1]:
+        upper += int(round(splits[name] * 10_000))
+        expr = (
+            F.when(bucket < upper, F.lit(name))
+            if expr is None
+            else expr.when(bucket < upper, F.lit(name))
+        )
+    return df.withColumn("split", expr.otherwise(F.lit(names[-1])))

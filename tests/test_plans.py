@@ -127,6 +127,20 @@ def test_first_occurrence_agg_matches_window(spark, transcripts_parquet):
     assert ka == kb and len(ka) > 0
 
 
+def test_asof_join_is_union_window_not_range_join(spark):
+    """asof_join must compile to union + ONE key shuffle + local sort +
+    carry-forward window — a range join (theta join on ts <=) would
+    blow up O(|L|·|R|) per key at 100 TB."""
+    from cerberus_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, "k", 10)], "id long, k string, ts long")
+    right = spark.createDataFrame([("k", 5, 1.0)], "k string, ts long, v double")
+    plan = plan_of(asof_join(left, right, ["k"], "ts", "ts", ["v"]))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    assert n_exchanges(plan) == 1, plan
+
+
 def test_bucketed_join_is_colocated_no_shuffle(spark, transcripts_parquet, tmp_path_factory):
     """Bucketing both sides on the join key pre-partitions data at
     write time — the join then needs NO exchange (the 100 TB co-located

@@ -1,0 +1,121 @@
+"""Training-data pipeline operators: as-of join, hash sampling/split,
+sequence packing, vocabulary stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cerberus_spark.functions.text import vocabulary
+from cerberus_spark.operators.asof import asof_join
+from cerberus_spark.operators.pack import pack_documents
+from cerberus_spark.operators.sample import hash_sample, hash_split
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_backward_inclusive(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),  # before any right -> null
+            (2, "k1", _ts("2024-01-01 12:00:00")),  # exactly at right ts -> inclusive
+            (3, "k1", _ts("2024-01-01 13:30:00")),  # between rights -> 12:00 row
+            (4, "k1", _ts("2024-01-01 15:00:00")),  # after all -> 14:00 row
+            (5, "k2", _ts("2024-01-01 12:30:00")),  # other key
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 12:00:00"), 10.0),
+            ("k1", _ts("2024-01-01 14:00:00"), 20.0),
+            ("k2", _ts("2024-01-01 12:00:00"), 99.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r.id: (r.ts_asof, r.v_asof)
+        for r in asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()
+    }
+    assert out[1] == (None, None)
+    assert out[2] == (_ts("2024-01-01 12:00:00"), 10.0)
+    assert out[3] == (_ts("2024-01-01 12:00:00"), 10.0)
+    assert out[4] == (_ts("2024-01-01 14:00:00"), 20.0)
+    assert out[5] == (_ts("2024-01-01 12:00:00"), 99.0)
+
+
+def test_asof_join_tiebreak_latest_wins(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 12:00:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 11:00:00"), 7, 1.0),
+            ("k", _ts("2024-01-01 11:00:00"), 9, 2.0),  # larger tiebreak wins
+        ],
+        "k string, ts timestamp, seq int, v double",
+    )
+    out = asof_join(left, right, ["k"], "ts", "ts", ["v"], tiebreak="seq").collect()
+    assert out[0].v_asof == 2.0
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "k")
+    s20 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    s50 = {r.k for r in hash_sample(df, "k", 0.5).collect()}
+    # deterministic across runs
+    assert s20 == {r.k for r in hash_sample(df, "k", 0.2).collect()}
+    # approximately the requested rate
+    assert 0.17 < len(s20) / 5000 < 0.23
+    assert 0.46 < len(s50) / 5000 < 0.54
+    # rates nest for the same salt: the 20% sample is inside the 50% one
+    assert s20 <= s50
+
+
+def test_hash_split_partitions_all_rows(spark):
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000
+    assert counts["train"] > 3300  # ~90%
+    # assignment is stable under a different partition layout
+    again = {
+        r.k: r.split for r in hash_split(df.repartition(17), "k").collect()
+    }
+    base = {r.k: r.split for r in out.collect()}
+    assert again == base
+
+
+def test_pack_documents_fill_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(20)], "doc_id long, toks int"
+    )
+    packed = pack_documents(df, "doc_id", "toks", budget=250, n_buckets=1)
+    rows = sorted((r.doc_id, r.pack_id) for r in packed.collect())
+    assert len(rows) == 20
+    # exclusive-cumsum fill: docs at cum 0,100,200 -> pack 0; 300,400 -> pack 1...
+    assert [p for _, p in rows] == [i * 100 // 250 for i in range(20)]
+    # per-pack token sum never exceeds budget + max_doc_tokens - 1
+    sums = (
+        packed.groupBy("bucket", "pack_id").agg(F.sum("toks").alias("s")).collect()
+    )
+    assert all(r.s <= 250 + 100 - 1 for r in sums)
+
+
+def test_vocabulary_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "spark spark flink"),
+            (1, "spark beam"),
+            (2, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: (r.df, r.cf) for r in vocabulary(df, "text", "doc_id").collect()}
+    assert got == {"spark": (2, 3), "flink": (1, 1), "beam": (1, 1)}
+    top = vocabulary(df, "text", "doc_id", min_df=2)
+    assert [r.term for r in top.collect()] == ["spark"]
