@@ -557,6 +557,60 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: date-filtered orders with EXISTS(lineitem …) —
+    left-semi join (the fact side streams; no row duplication), count
+    by priority."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    returned = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    j = orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+    return j.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional aggregation (CASE inside
+    SUM) — counts split by a priority class across the join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_count"),
+        )
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a per-order aggregate, then join
+    back to orders + broadcast customer dim, deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 350)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+    w = Window.orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+    return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis
 # ---------------------------------------------------------------------------
@@ -757,8 +811,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized simhash (bit-identical to the columnar
+    simhash64 Column fn — asserted in tests; ~4x faster because the
+    60-bit HOF tree is interpreted in Catalyst)."""
+    from cerberus_spark.operators.dedup import simhash_rows
+
     docs = spread(_t(spark, sf_dir, "documents"))
-    return docs.select("doc_id", simhash64(F.col("text"), shingle_k=2).alias("simhash"))
+    return simhash_rows(docs, "text", "doc_id", shingle_k=2)
 
 
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,8 +891,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q4_priority_exists": q4_priority_exists,
         "q5_local_supplier_volume": q5_local_supplier_volume,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_class": q12_priority_class,
+        "q18_large_orders": q18_large_orders,
         "multimodal_features": q_multimodal_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1379,6 +1441,36 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE c.c_nationkey = s.s_nationkey
 GROUP BY n.n_name
+""",
+        "q4_priority_exists": """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+        "q12_priority_class": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+        "q18_large_orders": """
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty, rk FROM (
+  SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice, b.sum_qty,
+         row_number() OVER (ORDER BY b.sum_qty DESC, o.o_orderkey ASC) AS rk
+  FROM (
+    SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 350
+  ) b
+  JOIN orders o ON b.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+) WHERE rk <= 20
 """,
         "q3_top_revenue_orders": """
 SELECT o_orderkey, revenue, rk FROM (

@@ -500,6 +500,73 @@ def simhash64(col: Column, shingle_k: int = 2, n_bits: int = 60) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc.bitwiseOR(x))
 
 
+def simhash_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 2,
+    n_bits: int = 60,
+) -> DataFrame:
+    """(id, simhash) rows via Arrow-batched vectorized Python —
+    BIT-IDENTICAL to the columnar :func:`simhash64` (same normalize/
+    shingle/md5; tests assert equality), ~4x faster because Catalyst
+    evaluates the 60-bit aggregate/zip_with tree interpreted while
+    numpy does the ±1 bit-count matrix in one shot.  Docs with NULL
+    text or fewer than ``shingle_k`` words get simhash 0, exactly like
+    the columnar empty-shingle fold."""
+    import hashlib
+
+    import pandas as pd
+
+    k = shingle_k
+    id_field = df.schema[id_col]
+
+    def compute(batches):
+        import numpy as _np
+
+        shifts = _np.arange(n_bits, dtype=_np.int64)
+        for pdf in batches:
+            ids, out = [], []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    ids.append(rid)
+                    out.append(0)
+                    continue
+                words = _normalize_py(text).split(" ")
+                if len(words) < k:
+                    ids.append(rid)
+                    out.append(0)
+                    continue
+                shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+                hs = _np.fromiter(
+                    (
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    ),
+                    dtype=_np.int64,
+                    count=len(shingles),
+                )
+                counts = (((hs[:, None] >> shifts) & 1) * 2 - 1).sum(axis=0)
+                out.append(int(((counts > 0).astype(_np.int64) << shifts).sum()))
+                ids.append(rid)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.Series(ids, dtype=object),
+                        "simhash": pd.Series(out, dtype="int64"),
+                    }
+                )
+
+    from pyspark.sql import types as T
+
+    from cerberus_spark.sources.tables import spread
+
+    out_schema = T.StructType(
+        [id_field, T.StructField("simhash", T.LongType(), False)]
+    )
+    return spread(df.select(id_col, text_col)).mapInPandas(compute, schema=out_schema)
+
+
 def simhash_hamming(a: Column, b: Column) -> Column:
     """Hamming distance between two simhash64 values."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -513,6 +580,7 @@ def simhash_candidates(
     n_bits: int = 60,
     bands: int = 6,
     max_hamming: int = 5,
+    impl: str = "arrow",
 ) -> DataFrame:
     """SimHash near-dup pairs via banded hamming-neighbor search:
     (id_a, id_b, hamming) with hamming ≤ ``max_hamming``, id_a < id_b.
@@ -535,15 +603,21 @@ def simhash_candidates(
     width = n_bits // bands
     mask = (1 << width) - 1
     words_n = F.size(F.split(normalize_text(F.col(text_col)), " "))
-    sigs = df.filter(words_n >= shingle_k).select(
-        F.col(id_col).alias("id"),
-        simhash64(F.col(text_col), shingle_k, n_bits).alias("sh"),
-    )
-    # shuffle barrier: the simhash is an expensive interpreted
-    # higher-order-function tree; without the Exchange, CollapseProject
-    # would inline it into every one of the `bands`+1 consumers below
-    # (same trick as the columnar MinHash impl)
-    sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    eligible = df.filter(words_n >= shingle_k)
+    if impl == "arrow":
+        sigs = simhash_rows(eligible, text_col, id_col, shingle_k, n_bits).select(
+            F.col(id_col).alias("id"), F.col("simhash").alias("sh")
+        )
+    else:
+        sigs = eligible.select(
+            F.col(id_col).alias("id"),
+            simhash64(F.col(text_col), shingle_k, n_bits).alias("sh"),
+        )
+        # shuffle barrier: the columnar simhash is an expensive
+        # interpreted higher-order-function tree; without the Exchange,
+        # CollapseProject would inline it into every one of the
+        # `bands`+1 consumers below (same trick as columnar MinHash)
+        sigs = sigs.repartition(df.sparkSession.sparkContext.defaultParallelism)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),

@@ -121,6 +121,22 @@ def test_ngram_jaccard_arrow_columnar_identical(spark, docs_df):
     assert pa == pc and len(pa) > 0
 
 
+def test_simhash_arrow_columnar_bit_identical(spark, docs_df):
+    """Arrow simhash_rows must equal the columnar simhash64 Column fn
+    bit-for-bit (incl. the unicode-whitespace doc and a null text)."""
+    from cerberus_spark.operators.dedup import simhash_rows
+
+    with_null = docs_df.union(
+        spark.createDataFrame([(99, None)], "doc_id long, text string")
+    )
+    arrow = {r.doc_id: r.simhash for r in simhash_rows(with_null, "text", "doc_id").collect()}
+    columnar = {
+        r.doc_id: r.sh
+        for r in with_null.select("doc_id", simhash64(F.col("text"), 2).alias("sh")).collect()
+    }
+    assert arrow == columnar and len(arrow) == 8
+
+
 def test_simhash_candidates_banded(spark, docs_df):
     """Banded hamming search finds exact-dup clusters and never pairs
     unrelated docs; short docs (< shingle_k words) are excluded."""
