@@ -850,6 +850,21 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round(F.col("jaccard"), 4).alias("jaccard"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup pipeline tail: MinHash+LSH candidate pairs ->
+    connected components (iterative min-label propagation; per-round
+    cost = one edge-keyed join + min agg, driver moves only change
+    counts) -> cluster id/size/canonical-survivor flag.  Oracle:
+    DuckDB recursive CTE computing the same closure."""
+    from cerberus_spark.operators.graph import dedup_clusters
+
+    sigs = minhash_signatures(
+        spread(_t(spark, sf_dir, "documents")), "text", "doc_id", num_hashes=16, shingle_k=3
+    )
+    cand = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
+    return dedup_clusters(cand)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_candidates": q_minhash_candidates,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
@@ -1590,6 +1606,23 @@ WITH cent AS (
 SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
 """,
     }
+    out["dedup_clusters"] = f"""
+WITH RECURSIVE cand AS ({minhash_cand_sql}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY cluster_id)
+SELECT cc.id, cc.cluster_id, s.csize, (cc.id = cc.cluster_id) AS keep
+FROM cc JOIN sizes s USING (cluster_id)
+"""
     out["asof_enrich"] = """
 WITH clicks AS (
   SELECT event_id, user_id, ts FROM events

@@ -1,0 +1,88 @@
+"""Connected components over candidate-pair edges — the step that turns
+near-duplicate PAIRS (MinHash/SimHash/Jaccard output) into duplicate
+CLUSTERS with one canonical survivor each.
+
+Iterative min-label propagation: every node starts labeled with itself;
+each round a node takes the min of its own and its neighbors' labels;
+fixpoint = components labeled by their smallest member.  Rounds needed
+= graph diameter — for near-dup clusters that is tiny (dup clusters are
+dense), and label propagation halves distances, so ``max_iters`` ~20
+covers diameters to ~2^20.
+
+Scale shape per round: one join (labels ⋈ edges, both keyed on node id)
++ one min-aggregate — shuffle-bounded by |edges|.  The loop runs on the
+DRIVER but only moves per-round CHANGE COUNTS (one long per action),
+never data.  ``localCheckpoint`` every round truncates the growing
+lineage/plan — the standard Spark idiom for iterative algorithms
+(GraphX/GraphFrames do the same internally); at cluster scale swap it
+for reliable ``checkpoint()`` on durable storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id) for every node appearing in ``edges``;
+    cluster_id = smallest node id in the component (deterministic).
+
+    Raises if the fixpoint is not reached within ``max_iters`` rounds —
+    silent truncation would mislabel components.
+    """
+    # checkpoint the symmetric edge list FIRST so the (possibly very
+    # expensive) upstream candidate-pair pipeline materializes exactly
+    # once; labels then derive from the checkpointed edges
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nb = sym.join(
+            labels.select(F.col("id").alias("b"), F.col("lbl")), "b"
+        ).select(F.col("a").alias("id"), "lbl")
+        new_labels = (
+            labels.select("id", "lbl")
+            .union(nb)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("lbl").alias("old")), "id"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("lbl").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations"
+    )
+
+
+def dedup_clusters(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+) -> DataFrame:
+    """(id, cluster_id, csize, keep) per clustered doc: components over
+    the candidate pairs, cluster size, and the canonical-survivor flag
+    (smallest id in the cluster — the row a dedup pass would keep)."""
+    cc = connected_components(edges, src, dst)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
+    return cc.join(sizes, "cluster_id").select(
+        "id",
+        "cluster_id",
+        "csize",
+        (F.col("id") == F.col("cluster_id")).alias("keep"),
+    )

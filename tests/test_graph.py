@@ -1,0 +1,42 @@
+"""Connected components / dedup clustering."""
+
+from __future__ import annotations
+
+import pytest
+
+from cerberus_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+
+def test_components_basic(spark):
+    e = _edges(spark, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)])
+    got = {r.id: r.cluster_id for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_components_chain_diameter(spark):
+    # a 9-node path needs several propagation rounds (label halving)
+    e = _edges(spark, [(i, i + 1) for i in range(8)])
+    got = {r.id: r.cluster_id for r in connected_components(e).collect()}
+    assert got == {i: 0 for i in range(9)}
+
+
+def test_components_nonconvergence_raises(spark):
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, max_iters=1)
+
+
+def test_dedup_clusters_survivor_flags(spark):
+    e = _edges(spark, [(5, 9), (9, 7), (30, 31)])
+    rows = {r.id: (r.cluster_id, r.csize, r.keep) for r in dedup_clusters(e).collect()}
+    assert rows == {
+        5: (5, 3, True),
+        7: (5, 3, False),
+        9: (5, 3, False),
+        30: (30, 2, True),
+        31: (30, 2, False),
+    }
