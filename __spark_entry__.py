@@ -678,6 +678,26 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample: keep 100% of purchases, 20% of
+    views, 10% of clicks, 0% of everything else — deterministic
+    md5-bucket thresholds per class (no RNG; stable across engines and
+    partitionings)."""
+    from cerberus_spark.operators.sample import stratified_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    kept = stratified_hash_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"purchase": 1.0, "view": 0.2, "click": 0.1},
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training-batch assembly: contiguous-fill
     packing of documents into 512-token packs inside 8 hash buckets
@@ -928,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_dim_lookup": q_csv_dim_lookup,
         "asof_enrich": q_asof_enrich,
         "hash_split": q_hash_split,
+        "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "vocab_stats": q_vocab_stats,
         "stream_tumbling": q_stream_tumbling,
@@ -1649,6 +1670,17 @@ WITH assigned AS (
 )
 SELECT split, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
 FROM assigned GROUP BY split
+"""
+    ev_bucket = (
+        "('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|sample'), 1, 15))::BIGINT % 10000"
+    )
+    out["stratified_sample"] = f"""
+SELECT event_type, count(*)::BIGINT AS n_kept, round(sum(value), 2) AS sum_value
+FROM events
+WHERE {ev_bucket} < CASE event_type
+    WHEN 'purchase' THEN 10000 WHEN 'view' THEN 2000 WHEN 'click' THEN 1000
+    ELSE 0 END
+GROUP BY event_type
 """
     n_tok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
     out["pack_documents"] = f"""

@@ -31,6 +31,37 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "sample") 
     return df.filter(_bucket_10k(F.col(key_col), salt) < threshold)
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing: keep 100%
+    of a rare class, 5% of a dominant one).  Same md5-bucket mechanics
+    as :func:`hash_sample` — a pure filter with a per-class threshold,
+    so it is reproducible, shuffle-free, and engine-portable; unlike
+    ``df.sampleBy`` there is no RNG and membership survives
+    repartitioning."""
+    bucket = _bucket_10k(F.col(key_col), salt)
+    thr = None
+    for name, rate in rates.items():
+        t = int(round(rate * 10_000))
+        thr = (
+            F.when(F.col(strata_col) == name, F.lit(t))
+            if thr is None
+            else thr.when(F.col(strata_col) == name, F.lit(t))
+        )
+    thr = (
+        thr.otherwise(F.lit(int(round(default_rate * 10_000))))
+        if thr is not None
+        else F.lit(int(round(default_rate * 10_000)))
+    )
+    return df.filter(bucket < thr)
+
+
 def hash_split(
     df: DataFrame,
     key_col: str,

@@ -16,7 +16,10 @@ from cerberus_spark.validation import validate
 
 # --- strategies ------------------------------------------------------------
 
-label_values = st.sampled_from(["alpha", "beta", "gamma", "", "delta-9", "X"])
+# "Xx" / "zY" are anchoring tripwires: under the buggy '^X|Y$' compile
+# of the alternation pattern below they'd wrongly PASS (prefix/suffix
+# match); re.fullmatch and the fixed ^(?:X|Y)$ reject them.
+label_values = st.sampled_from(["alpha", "beta", "gamma", "", "delta-9", "X", "Xx", "zY"])
 str_or_none = st.one_of(st.none(), label_values)
 int_or_none = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
 
@@ -69,14 +72,37 @@ def dep_rules(draw):
     return fr
 
 
+@st.composite
+def list_field_rules(draw):
+    fr: dict = {"type": "list"}
+    if draw(st.booleans()):
+        fr["required"] = draw(st.booleans())
+    if draw(st.booleans()):
+        fr["minlength"] = draw(st.integers(min_value=0, max_value=3))
+    if draw(st.booleans()):
+        fr["maxlength"] = draw(st.integers(min_value=0, max_value=4))
+    return fr
+
+
+list_or_none = st.one_of(
+    st.none(), st.lists(st.sampled_from(["a", "b"]), max_size=5)
+)
+
 rows_strategy = st.lists(
-    st.fixed_dictionaries({"s": str_or_none, "i": int_or_none, "t": str_or_none}),
+    st.fixed_dictionaries(
+        {"s": str_or_none, "i": int_or_none, "t": str_or_none, "l": list_or_none}
+    ),
     min_size=1,
     max_size=8,
 )
 
 schema_strategy = st.fixed_dictionaries(
-    {"s": str_field_rules(), "i": int_field_rules(), "t": dep_rules()}
+    {
+        "s": str_field_rules(),
+        "i": int_field_rules(),
+        "t": dep_rules(),
+        "l": list_field_rules(),
+    }
 )
 
 
@@ -93,8 +119,8 @@ def _spark(spark):
 @given(schema=schema_strategy, rows=rows_strategy)
 def test_compiled_rules_match_python_twin(_spark, schema, rows):
     spark = _spark
-    data = [(idx, r["s"], r["i"], r["t"]) for idx, r in enumerate(rows)]
-    df = spark.createDataFrame(data, "rid int, s string, i int, t string")
+    data = [(idx, r["s"], r["i"], r["t"], r["l"]) for idx, r in enumerate(rows)]
+    df = spark.createDataFrame(data, "rid int, s string, i int, t string, l array<string>")
     res = validate(df, schema, key_cols=["rid"])
     got = {
         (r["rid"], r["field"], r["rule"])

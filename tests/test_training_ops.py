@@ -75,6 +75,25 @@ def test_hash_sample_deterministic_and_nested(spark):
     assert s20 <= s50
 
 
+def test_stratified_hash_sample_rates(spark):
+    from cerberus_spark.operators.sample import stratified_hash_sample
+
+    df = spark.createDataFrame(
+        [(i, "rare" if i % 10 == 0 else "common") for i in range(4000)],
+        "k long, cls string",
+    )
+    kept = stratified_hash_sample(df, "k", "cls", {"rare": 1.0, "common": 0.1})
+    counts = {
+        r.cls: r.n
+        for r in kept.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["rare"] == 400  # rate 1.0 keeps every rare row
+    assert 0.07 * 3600 < counts["common"] < 0.13 * 3600
+    # classes not in the rate map default to rate 0
+    df2 = df.withColumn("cls", F.lit("other"))
+    assert stratified_hash_sample(df2, "k", "cls", {"rare": 1.0}).count() == 0
+
+
 def test_hash_split_partitions_all_rows(spark):
     df = spark.range(0, 4000).withColumnRenamed("id", "k")
     out = hash_split(df, "k")
