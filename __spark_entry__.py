@@ -678,6 +678,23 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate documents
+    (MinHash LSH pairs -> connected components) share a duplicate
+    cluster, and the split is hashed from the CLUSTER id — so a near-dup
+    of a training doc can never land in test.  Unclustered docs fall
+    back to their own id."""
+    from cerberus_spark.operators.graph import dedup_clusters
+    from cerberus_spark.operators.sample import leak_safe_split
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=3)
+    cand = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
+    clusters = dedup_clusters(cand).select("id", "cluster_id")
+    out = leak_safe_split(_t(spark, sf_dir, "documents"), "doc_id", clusters)
+    return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-rebalancing downsample: keep 100% of purchases, 20% of
     views, 10% of clicks, 0% of everything else — deterministic
@@ -948,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "csv_dim_lookup": q_csv_dim_lookup,
         "asof_enrich": q_asof_enrich,
         "hash_split": q_hash_split,
+        "leak_safe_split": q_leak_safe_split,
         "stratified_sample": q_stratified_sample,
         "pack_documents": q_pack_documents,
         "vocab_stats": q_vocab_stats,
@@ -1643,6 +1661,29 @@ cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
 sizes AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY cluster_id)
 SELECT cc.id, cc.cluster_id, s.csize, (cc.id = cc.cluster_id) AS keep
 FROM cc JOIN sizes s USING (cluster_id)
+"""
+    out["leak_safe_split"] = f"""
+WITH RECURSIVE cand AS ({minhash_cand_sql}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+assigned AS (
+  SELECT ('0x' || substr(md5(CAST(coalesce(cc.cluster_id, d.doc_id) AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000 AS bucket
+  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+)
+SELECT CASE WHEN bucket < 9000 THEN 'train'
+            WHEN bucket < 9500 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*)::BIGINT AS n_docs
+FROM assigned GROUP BY 1
 """
     out["asof_enrich"] = """
 WITH clicks AS (

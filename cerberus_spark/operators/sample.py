@@ -31,6 +31,28 @@ def hash_sample(df: DataFrame, key_col: str, rate: float, salt: str = "sample") 
     return df.filter(_bucket_10k(F.col(key_col), salt) < threshold)
 
 
+def leak_safe_split(
+    df: DataFrame,
+    key_col: str,
+    clusters: DataFrame,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test split that keeps near-duplicate documents in the
+    SAME split (train/test leakage guard): the split is hashed from the
+    duplicate-cluster id (``clusters``: (id, cluster_id) from
+    ``operators.graph.dedup_clusters``), falling back to the row's own
+    key for unclustered rows.  A left join against the (small relative
+    to the corpus) cluster map + the same CASE-range assignment as
+    :func:`hash_split` — no RNG, stable across engines and runs."""
+    cl = clusters.select(F.col("id").alias(key_col), "cluster_id")
+    joined = df.join(cl, key_col, "left").withColumn(
+        "_split_key", F.coalesce(F.col("cluster_id"), F.col(key_col))
+    )
+    out = hash_split(joined, "_split_key", splits, salt)
+    return out.drop("_split_key")
+
+
 def stratified_hash_sample(
     df: DataFrame,
     key_col: str,

@@ -75,6 +75,34 @@ def test_hash_sample_deterministic_and_nested(spark):
     assert s20 <= s50
 
 
+def test_leak_safe_split_cluster_cohesion(spark):
+    """Every duplicate cluster must land entirely in ONE split — the
+    whole point of splitting by cluster id."""
+    from cerberus_spark.operators.graph import dedup_clusters
+    from cerberus_spark.operators.sample import leak_safe_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(400)], "doc_id long, text string"
+    )
+    # synthetic dup pairs chaining docs into 100 clusters of 4
+    edges = spark.createDataFrame(
+        [(i, i + 100) for i in range(100)]
+        + [(i + 100, i + 200) for i in range(100)]
+        + [(i + 200, i + 300) for i in range(100)],
+        "id_a long, id_b long",
+    )
+    clusters = dedup_clusters(edges).select("id", "cluster_id")
+    out = leak_safe_split(docs, "doc_id", clusters)
+    rows = out.select("doc_id", "cluster_id", "split").collect()
+    assert len(rows) == 400 and all(r.split in ("train", "val", "test") for r in rows)
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # each of the 100 real clusters maps to exactly one split
+    for cid, splits in by_cluster.items():
+        assert len(splits) == 1, (cid, splits)
+
+
 def test_stratified_hash_sample_rates(spark):
     from cerberus_spark.operators.sample import stratified_hash_sample
 
