@@ -62,6 +62,49 @@ def test_asof_join_tiebreak_latest_wins(spark):
     assert out[0].v_asof == 2.0
 
 
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k", _ts("2024-01-01 12:00:00")),  # next right at 13:00
+            (2, "k", _ts("2024-01-01 14:00:00")),  # exactly at right -> inclusive
+            (3, "k", _ts("2024-01-01 15:00:00")),  # nothing after -> null
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 11:00:00"), 1.0),
+            ("k", _ts("2024-01-01 13:00:00"), 2.0),
+            ("k", _ts("2024-01-01 14:00:00"), 3.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r.id: r.v_asof
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out == {1: 2.0, 2: 3.0, 3: None}
+
+
+def test_hll_sketch_rollup_matches_direct(spark):
+    """Union-of-group-sketches must equal one direct global sketch
+    (register merge is exact), and land inside HLL's error envelope."""
+    from cerberus_spark.checks.sketches import hll_group_sketches, hll_rollup
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 30).alias("day"), (F.col("id") % 3517).alias("user_id")
+    )
+    per_day = hll_group_sketches(df, ["day"], "user_id")
+    assert per_day.count() == 30
+    merged = hll_rollup(per_day).collect()[0]
+    direct = hll_group_sketches(df.withColumn("g", F.lit(1)), ["g"], "user_id").collect()[0]
+    assert merged.estimate == direct.estimate
+    assert abs(merged.estimate - 3517) / 3517 < 0.05
+
+
 def test_hash_sample_deterministic_and_nested(spark):
     df = spark.range(0, 5000).withColumnRenamed("id", "k")
     s20 = {r.k for r in hash_sample(df, "k", 0.2).collect()}
