@@ -665,6 +665,32 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join done scale-safe: events matched to overlapping 24h
+    campaign windows via chunk bucketing (explode intervals into day
+    chunks -> ONE equi-join on chunk -> exact bound re-check) — never
+    the BroadcastNestedLoopJoin Spark would plan for the raw theta
+    join.  Campaigns are a deterministic inline dimension (20 windows,
+    36h stride, so neighbors overlap and some events match twice)."""
+    from cerberus_spark.operators.rangejoin import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    camp = spark.range(20).select(
+        F.col("id").alias("campaign_id"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,36*id,0,0)"
+        ).alias("start_ts"),
+        F.expr(
+            "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,36*id+24,0,0)"
+        ).alias("end_ts"),
+    )
+    j = interval_join(ev, "ts", camp, "start_ts", "end_ts", chunk_seconds=86_400)
+    return j.groupBy("campaign_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split by key hash (90/5/5): a
     record's split is a pure function of doc_id — stable across runs,
@@ -964,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regex_alternation": q_regex_alternation,
         "csv_dim_lookup": q_csv_dim_lookup,
         "asof_enrich": q_asof_enrich,
+        "interval_join_campaigns": q_interval_join,
         "hash_split": q_hash_split,
         "leak_safe_split": q_leak_safe_split,
         "stratified_sample": q_stratified_sample,
@@ -1697,6 +1724,17 @@ SELECT c.event_id, c.user_id, c.ts,
        p.ts AS prev_purchase_ts, p.p_value AS prev_purchase_value
 FROM clicks c ASOF LEFT JOIN purch p
   ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+    out["interval_join_campaigns"] = """
+WITH camp AS (
+  SELECT id AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (36*id) HOUR AS start_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (36*id + 24) HOUR AS end_ts
+  FROM range(0, 20) t(id)
+)
+SELECT c.campaign_id, count(*)::BIGINT AS n_events, round(sum(e.value), 2) AS total_value
+FROM events e JOIN camp c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+GROUP BY c.campaign_id
 """
     split_bucket = (
         "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 15))::BIGINT % 10000"

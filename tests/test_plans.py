@@ -141,6 +141,26 @@ def test_asof_join_is_union_window_not_range_join(spark):
     assert n_exchanges(plan) == 1, plan
 
 
+def test_interval_join_is_equi_join_not_nlj(spark):
+    """interval_join must hash-join on the chunk key; the raw theta
+    join it replaces plans as BroadcastNestedLoopJoin (points ×
+    intervals — quadratic)."""
+    from cerberus_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame([(1, 1000)], "pid long, ts long").select(
+        "pid", F.timestamp_seconds(F.col("ts")).alias("ts")
+    )
+    ivs = spark.createDataFrame([(1, 0, 2000)], "iv long, s long, e long").select(
+        "iv",
+        F.timestamp_seconds(F.col("s")).alias("s"),
+        F.timestamp_seconds(F.col("e")).alias("e"),
+    )
+    plan = plan_of(interval_join(pts, "ts", ivs, "s", "e"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
 def test_bucketed_join_is_colocated_no_shuffle(spark, transcripts_parquet, tmp_path_factory):
     """Bucketing both sides on the join key pre-partitions data at
     write time — the join then needs NO exchange (the 100 TB co-located

@@ -88,6 +88,38 @@ def test_asof_join_forward(spark):
     assert out == {1: 2.0, 2: 3.0, 3: None}
 
 
+def test_interval_join_semantics(spark):
+    """Half-open bounds, multi-chunk intervals, overlaps, left join."""
+    from cerberus_spark.operators.rangejoin import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start -> included
+            (2, _ts("2024-01-02 00:00:00")),  # == end of iv A -> excluded
+            (3, _ts("2024-01-04 12:00:00")),  # inside the 3-day iv B
+            (4, _ts("2024-02-01 00:00:00")),  # matches nothing
+            (5, _ts("2024-01-03 06:00:00")),  # inside B and C (overlap)
+        ],
+        "pid long, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 00:00:00"), _ts("2024-01-02 00:00:00")),
+            ("B", _ts("2024-01-03 00:00:00"), _ts("2024-01-06 00:00:00")),
+            ("C", _ts("2024-01-03 00:00:00"), _ts("2024-01-03 12:00:00")),
+        ],
+        "iv string, start_ts timestamp, end_ts timestamp",
+    )
+    inner = {
+        (r.pid, r.iv)
+        for r in interval_join(pts, "ts", ivs, "start_ts", "end_ts").collect()
+    }
+    assert inner == {(1, "A"), (3, "B"), (5, "B"), (5, "C")}
+    left = interval_join(pts, "ts", ivs, "start_ts", "end_ts", how="left")
+    unmatched = {r.pid for r in left.collect() if r.iv is None}
+    assert unmatched == {2, 4}
+
+
 def test_hll_sketch_rollup_matches_direct(spark):
     """Union-of-group-sketches must equal one direct global sketch
     (register merge is exact), and land inside HLL's error envelope."""
