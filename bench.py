@@ -73,11 +73,14 @@ def bench_transcripts(spark, sf: float) -> dict:
         _ident, schema="n long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-3: this VM shows bursty hypervisor CPU steal (up to ~16%
-    # in spikes); the minimum is the least-interference estimate of the
-    # job's actual cost
+    # best-of-5: this VM shows bursty hypervisor CPU steal (up to ~16%
+    # in spikes, sometimes minutes long); the minimum is the
+    # least-interference estimate of the job's actual cost, and five
+    # trials give a materially better chance of catching a quiet window
+    # than three (identical code measured 4.5s and 10.5s best-of-3 in
+    # adjacent hours purely on steal weather)
     walls = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run_full_validation(spark, df, sink_dir=os.path.join(TMP, "sink"))
         walls.append(time.perf_counter() - t0)
