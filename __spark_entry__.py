@@ -238,6 +238,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window must reproduce the hand-rolled
+    lag/cumsum sessionize (oracle shared with `sessionize`) — a
+    cross-validation of both implementations.  Boundary note: the
+    built-in starts a new session at gap >= 30min while the SQL twin
+    uses gap > 30min; the synthetic events table has no exact-1800s
+    gap at any sf (checked), so the results coincide."""
+    ev = _t(spark, sf_dir, "events")
+    per_sess = ev.groupBy(
+        F.session_window(F.col("ts"), "30 minutes").alias("w"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("sess_len"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.max("sess_len").alias("max_sess_len"),
+    )
+
+
 def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 analog: tumbling processing-window aggregates, batch form
     (reference tickers cmd/cerberus/main.go:124-150 -> hour buckets)."""
@@ -954,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_occurrence": q_first_occurrence,
         "topk_per_user": q_topk_per_user,
         "sessionize": q_sessionize,
+        "session_window_stats": q_session_window_stats,
         "running_total": q_running_total,
         "tumbling_counts": q_tumbling_counts,
         "event_rollup": q_event_rollup,
@@ -1790,4 +1808,6 @@ FROM events GROUP BY 1, 2
 """
     # streaming path must produce EXACTLY the batch rule-summary counts
     out["stream_validate"] = out["validation_summary"]
+    # native session_window must equal the hand-rolled sessionize
+    out["session_window_stats"] = out["sessionize"]
     return out
