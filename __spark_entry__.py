@@ -268,6 +268,63 @@ def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 as a WIDE table: per-user counts pivoted to one column per
+    event type.  The pivot values are an explicit fixed list — never
+    the two-pass value-discovery scan, which is both nondeterministic
+    column order and an extra job at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    types = ALLOWED_EVENT_TYPES + ["error"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP exact interpolated quantiles (median + p95 of value by
+    event type) — F.percentile (exact) mirrors SQL quantile_cont;
+    approximate sketches stay in the headline pipeline where rollups
+    matter."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile(F.col("value"), F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(F.col("value"), F.lit(0.95)), 4).alias("p95"),
+    )
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day-of-week): all four grouping sets in
+    ONE scan (the GROUPING SETS expansion happens map-side before the
+    shuffle)."""
+    ev = _t(spark, sf_dir, "events")
+    dow = F.dayofweek(F.col("ts")).cast("int")  # Sunday=1 (DuckDB dayofweek+1)
+    # grouping() distinguishes the CUBE total from a genuine NULL value
+    return (
+        ev.select("event_type", dow.alias("dow"))
+        .cube("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping("event_type").alias("_g_et"),
+            F.grouping("dow").alias("_g_dow"),
+        )
+        .select(
+            F.when(F.col("_g_et") == 1, F.lit("__all__"))
+            .otherwise(F.coalesce(F.col("event_type"), F.lit("__null__")))
+            .alias("event_type"),
+            F.when(F.col("_g_dow") == 1, F.lit(-1))
+            .otherwise(F.coalesce(F.col("dow"), F.lit(-2)))
+            .cast("int")
+            .alias("dow"),
+            "n",
+        )
+    )
+
+
 def q_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 analog: per-family counters + grand total in one rollup
     (reference Stats struct, internal/monitor/monitor.go:29-38)."""
@@ -975,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": q_running_total,
         "tumbling_counts": q_tumbling_counts,
         "event_rollup": q_event_rollup,
+        "pivot_counts": q_pivot_counts,
+        "group_quantiles": q_group_quantiles,
+        "cube_counts": q_cube_counts,
         "recent_targets": q_recent_targets,
         "embedding_norms": q_embedding_norms,
         "enrich_lookup": q_enrich_lookup,
@@ -1447,6 +1507,26 @@ FROM events GROUP BY 1, 2
         "event_rollup": """
 SELECT coalesce(event_type, '__total__') AS event_type, count(*)::BIGINT AS n
 FROM events GROUP BY ROLLUP(event_type)
+""",
+        "pivot_counts": f"""
+SELECT user_id,
+       {", ".join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::BIGINT AS n_{t}"
+                  for t in ALLOWED_EVENT_TYPES + ["error"])}
+FROM events GROUP BY user_id
+""",
+        "group_quantiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events WHERE value IS NOT NULL GROUP BY event_type
+""",
+        "cube_counts": """
+SELECT CASE WHEN GROUPING(event_type) = 1 THEN '__all__'
+            ELSE coalesce(event_type, '__null__') END AS event_type,
+       CAST(CASE WHEN GROUPING(dow) = 1 THEN -1 ELSE coalesce(dow, -2) END AS INT) AS dow,
+       count(*)::BIGINT AS n
+FROM (SELECT event_type, CAST(dayofweek(ts) + 1 AS INT) AS dow FROM events)
+GROUP BY CUBE(event_type, dow)
 """,
         "recent_targets": """
 WITH r AS (
