@@ -272,7 +272,11 @@ def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 as a WIDE table: per-user counts pivoted to one column per
     event type.  The pivot values are an explicit fixed list — never
     the two-pass value-discovery scan, which is both nondeterministic
-    column order and an extra job at 100 TB."""
+    column order and an extra job at 100 TB.  Plan note: .pivot()
+    compiles to two aggs (pre-agg on (user, type), then pivot on user)
+    = two exchanges, the second over only |users × types| rows; the
+    single-exchange alternative is the manual sum(when(...)) form the
+    oracle uses — this entry deliberately exercises the pivot API."""
     ev = _t(spark, sf_dir, "events")
     types = ALLOWED_EVENT_TYPES + ["error"]
     out = (
@@ -898,6 +902,27 @@ def q_regex_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("event_id", "field", "rule", "value")
 
 
+VCHECK_RULES = {"tag": {"type": "string", "vcheck": "json_object"}}
+
+
+def q_vcheck_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sanctioned Arrow slow path under the oracle gate: a
+    pandas_udf vcheck (json_object) validated against DuckDB's JSON
+    functions.  The derived tag column mixes valid objects, truncated
+    JSON, a non-object array, and NULLs so every branch fires."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.pmod(F.col("user_id"), F.lit(4))
+    tag = (
+        F.when(m == 0, F.col("props"))
+        .when(m == 1, F.substring(F.col("props"), 1, 5))
+        .when(m == 2, F.lit("[1, 2]"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    tagged = ev.select("event_id", tag.alias("tag"))
+    res = validate(tagged, VCHECK_RULES, key_cols=["event_id"])
+    return res.violations().select("event_id", "field", "rule", "value")
+
+
 _SERVICE_CSV = f"{_os.path.dirname(_os.path.abspath(__file__))}/tests/fixtures/service_ports.csv"
 
 
@@ -1066,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
         "regex_alternation": q_regex_alternation,
+        "vcheck_json": q_vcheck_json,
         "csv_dim_lookup": q_csv_dim_lookup,
         "asof_enrich": q_asof_enrich,
         "interval_join_campaigns": q_interval_join,
@@ -1702,6 +1728,21 @@ WITH tagged AS (
 SELECT event_id, 'tag' AS field, 'regex' AS rule, CAST(tag AS VARCHAR) AS value
 FROM tagged
 WHERE tag IS NOT NULL AND NOT regexp_full_match(tag, 'click|view')
+""",
+        "vcheck_json": """
+WITH tagged AS (
+  SELECT event_id,
+         CASE user_id % 4
+           WHEN 0 THEN props
+           WHEN 1 THEN substr(props, 1, 5)
+           WHEN 2 THEN '[1, 2]'
+           ELSE NULL END AS tag
+  FROM events
+)
+SELECT event_id, 'tag' AS field, 'vcheck:json_object' AS rule, tag AS value
+FROM tagged
+WHERE tag IS NOT NULL
+  AND NOT (json_valid(tag) AND json_type(TRY_CAST(tag AS JSON)) = 'OBJECT')
 """,
         "salted_label_counts": """
 SELECT user_id, event_type, count(*)::BIGINT AS n
