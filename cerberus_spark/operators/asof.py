@@ -15,9 +15,12 @@ key at worst.  Instead we use the union-and-carry-forward plan:
     union(left-tagged, right-tagged)
       -> ONE shuffle on key
       -> ONE partition-local sort on (ts, side, tiebreak)
-      -> last(value, ignorenulls=True) running window carries each
-         right value forward until the next right row
-      -> keep left rows
+      -> last(struct(right_ts, values...), ignorenulls=True) running
+         window carries the WHOLE matched right row forward until the
+         next right row; the struct is non-null for every right row, so
+         a right row whose value column is NULL still wins the match
+         (the NULL rides inside the struct instead of being skipped)
+      -> keep left rows, unpack the struct
 
 Cost is one shuffle + one sort of |L|+|R| rows — the same plan shape
 Spark uses for any window, linear in data, no range-join blowup.
@@ -27,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -61,6 +65,11 @@ def asof_join(
     out_ts = right_ts + suffix
     carried = [right_ts] + list(value_cols)
     left_cols = left.columns
+    # one struct per right row: non-null whenever a right row exists,
+    # even if every value column inside it is NULL — last(ignorenulls)
+    # then matches rows, not values (a matched NULL stays NULL instead
+    # of falling back to an older row's value)
+    row_t = T.StructType([T.StructField(c, right.schema[c].dataType) for c in carried])
     # side flag orders right rows BEFORE left rows at equal ts so an
     # equal-timestamp right row is visible to the left row (inclusive)
     l_tagged = left.select(
@@ -68,7 +77,7 @@ def asof_join(
         F.col(left_ts).alias("_ats"),
         F.lit(1).alias("_side"),
         F.lit(None).cast("long").alias("_tb"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in carried],
+        F.lit(None).cast(row_t).alias("_r"),
     )
     tb = F.col(tiebreak).cast("long") if tiebreak else F.lit(0).cast("long")
     # right rows carry the (shared-name) key columns; every other left
@@ -81,7 +90,7 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         tb.alias("_tb"),
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_r"),
     )
     both = l_tagged.unionByName(r_tagged)
     if direction == "backward":
@@ -96,10 +105,10 @@ def asof_join(
     filled = both.select(
         *left_cols,
         F.col("_side"),
-        F.last(F.col(f"_r_{right_ts}"), ignorenulls=True).over(w).alias(out_ts),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(c + suffix)
-            for c in value_cols
-        ],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_m"),
     )
-    return filled.filter(F.col("_side") == 1).drop("_side")
+    return filled.filter(F.col("_side") == 1).select(
+        *left_cols,
+        F.col("_m")[right_ts].alias(out_ts),
+        *[F.col("_m")[c].alias(c + suffix) for c in value_cols],
+    )

@@ -62,6 +62,35 @@ def test_asof_join_tiebreak_latest_wins(spark):
     assert out[0].v_asof == 2.0
 
 
+def test_asof_join_null_value_in_matched_row_stays_null(spark):
+    """A matched right row whose value column is NULL must yield NULL,
+    not carry forward an OLDER row's value (the matched row rides in a
+    non-null struct, so last(ignorenulls) picks rows, not values)."""
+    left = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 12:00:00"))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("k", _ts("2024-01-01 11:00:00"), 5.0),
+            ("k", _ts("2024-01-01 11:30:00"), None),  # the match — NULL value
+        ],
+        "k string, ts timestamp, v double",
+    )
+    row = asof_join(left, right, ["k"], "ts", "ts", ["v"]).collect()[0]
+    assert row.ts_asof == _ts("2024-01-01 11:30:00")
+    assert row.v_asof is None
+    # forward direction: match at 11:30 looking backward-in-scan is the
+    # earliest right >= left; with left at 11:15 the 11:30 NULL row wins
+    left2 = spark.createDataFrame(
+        [(1, "k", _ts("2024-01-01 11:15:00"))], "id long, k string, ts timestamp"
+    )
+    row2 = asof_join(
+        left2, right, ["k"], "ts", "ts", ["v"], direction="forward"
+    ).collect()[0]
+    assert row2.ts_asof == _ts("2024-01-01 11:30:00")
+    assert row2.v_asof is None
+
+
 def test_asof_join_forward(spark):
     left = spark.createDataFrame(
         [
