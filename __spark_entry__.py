@@ -965,6 +965,33 @@ def q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
 
 
+def q_minhash_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minhash_dup_candidates with the band-bucket cap ON: buckets with
+    more than bucket_cap members are dropped whole BEFORE pair
+    generation, bounding every bucket's output at cap·(cap−1)/2 — the
+    guard that keeps one degenerate band signature (boilerplate corpora)
+    from going quadratic at 100 TB.  cap=2 bites at this SF (drops the
+    size-3 buckets)."""
+    sigs = minhash_signatures(
+        spread(_t(spark, sf_dir, "documents")), "text", "doc_id", num_hashes=16, shingle_k=3
+    )
+    return minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4, bucket_cap=2)
+
+
+def q_simhash_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_candidates with the band-bucket cap ON: band values held
+    by more than bucket_cap signatures are anti-joined out of BOTH
+    sides of the candidate equi-join before pair generation.  cap=4
+    bites at this SF (drops buckets of size 5-8)."""
+    from cerberus_spark.operators.dedup import simhash_candidates
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return simhash_candidates(
+        docs, "text", "doc_id", shingle_k=2, n_bits=60, bands=6, max_hamming=5,
+        bucket_cap=4,
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         spread(_t(spark, sf_dir, "documents")), "text", "doc_id", k=3, threshold=0.4
@@ -1037,7 +1064,29 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # ORDER MATTERS: the driver's correctness gate covers the FIRST 50
+    # entries — newest / least-driver-proven pairs go first; long-green
+    # stalwarts (TPC-H shapes, pivot/cube, simple aggs) sit in the tail.
+    # scripts/oracle_check.py still verifies ALL entries locally.
     return {
+        # --- new this round ---
+        "minhash_candidates_capped": q_minhash_candidates_capped,
+        "simhash_candidates_capped": q_simhash_candidates_capped,
+        # --- registered r2 but never driver-gated ---
+        "simhash_candidates": q_simhash_candidates,
+        "cosine_topk": q_cosine_topk,
+        "regex_alternation": q_regex_alternation,
+        "vcheck_json": q_vcheck_json,
+        "csv_dim_lookup": q_csv_dim_lookup,
+        "asof_enrich": q_asof_enrich,
+        "interval_join_campaigns": q_interval_join,
+        "hash_split": q_hash_split,
+        "leak_safe_split": q_leak_safe_split,
+        "stratified_sample": q_stratified_sample,
+        "pack_documents": q_pack_documents,
+        "vocab_stats": q_vocab_stats,
+        "stream_tumbling": q_stream_tumbling,
+        # --- driver-verified in r2 (CORRECTNESS_r02.json) ---
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -1054,29 +1103,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "sessionize": q_sessionize,
         "session_window_stats": q_session_window_stats,
-        "running_total": q_running_total,
-        "tumbling_counts": q_tumbling_counts,
-        "event_rollup": q_event_rollup,
-        "pivot_counts": q_pivot_counts,
-        "group_quantiles": q_group_quantiles,
-        "cube_counts": q_cube_counts,
-        "recent_targets": q_recent_targets,
         "embedding_norms": q_embedding_norms,
         "enrich_lookup": q_enrich_lookup,
-        "label_count_map": q_label_count_map,
         "ivf_topk": q_ivf_topk,
         "stream_validate": q_stream_validate,
         "salted_label_counts": q_salted_label_counts,
         "semi_join_flag": q_semi_join_flag,
         "extract_props_k": q_extract_props_k,
         "embedding_neardup": q_embedding_neardup,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_top_revenue_orders": q3_top_revenue_orders,
-        "q4_priority_exists": q4_priority_exists,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q12_priority_class": q12_priority_class,
-        "q18_large_orders": q18_large_orders,
         "multimodal_features": q_multimodal_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1088,19 +1122,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
-        "simhash_candidates": q_simhash_candidates,
-        "cosine_topk": q_cosine_topk,
-        "regex_alternation": q_regex_alternation,
-        "vcheck_json": q_vcheck_json,
-        "csv_dim_lookup": q_csv_dim_lookup,
-        "asof_enrich": q_asof_enrich,
-        "interval_join_campaigns": q_interval_join,
-        "hash_split": q_hash_split,
-        "leak_safe_split": q_leak_safe_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_documents": q_pack_documents,
-        "vocab_stats": q_vocab_stats,
-        "stream_tumbling": q_stream_tumbling,
+        # --- long-green tail (driver-verified r1+r2; still in local gate) ---
+        "running_total": q_running_total,
+        "tumbling_counts": q_tumbling_counts,
+        "event_rollup": q_event_rollup,
+        "pivot_counts": q_pivot_counts,
+        "group_quantiles": q_group_quantiles,
+        "cube_counts": q_cube_counts,
+        "recent_targets": q_recent_targets,
+        "label_count_map": q_label_count_map,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q4_priority_exists": q4_priority_exists,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q12_priority_class": q12_priority_class,
+        "q18_large_orders": q18_large_orders,
     }
 
 
@@ -1201,6 +1238,30 @@ FROM band a JOIN band b
   ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 """
+    minhash_cand_capped_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
+), ex AS (
+  SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0
+), sig AS (
+  SELECT e.doc_id, c.j AS h_idx, min({h_j})::BIGINT AS h_val
+  FROM ex e CROSS JOIN (VALUES {coeff_values}) c(j, a, b)
+  GROUP BY e.doc_id, c.j
+), band AS (
+  SELECT doc_id, h_idx // 4 AS band_idx,
+         string_agg(CAST(h_val AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+  FROM sig GROUP BY doc_id, h_idx // 4
+), kept AS (
+  -- bucket cap: drop whole buckets with more than 2 members
+  SELECT doc_id, band_idx, band_sig FROM (
+    SELECT band.*, count(*) OVER (PARTITION BY band_idx, band_sig) AS _n FROM band
+  ) WHERE _n <= 2
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_bands_shared
+FROM kept a JOIN kept b
+  ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
     jaccard_sql = f"""
 WITH docs AS (
   SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
@@ -1263,6 +1324,42 @@ WITH docs AS (
 ), ex AS (
   SELECT id, sh, b AS band_idx, (sh >> CAST(10 * b AS INT)) & 1023 AS band_bits
   FROM sigs CROSS JOIN range(6) r(b)
+)
+SELECT id_a, id_b, hamming FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         CAST(min(bit_count(xor(a.sh, b.sh))) AS INT) AS hamming
+  FROM ex a JOIN ex b
+    ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.id < b.id
+  GROUP BY 1, 2
+) WHERE hamming <= 5
+"""
+    simhash_cand_capped_sql = f"""
+WITH docs AS (
+  SELECT doc_id, {sh2.replace('w', f'({_WORDS})')} AS sh FROM documents
+  WHERE len({_WORDS}) >= 2
+), hx AS (
+  SELECT doc_id, {_MD5_I64.format(expr="s")} AS h
+  FROM (SELECT doc_id, unnest(sh) AS s FROM docs)
+), bitsum AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS cnt
+  FROM hx CROSS JOIN range(60) r(b)
+  GROUP BY doc_id, b
+), folded AS (
+  SELECT doc_id,
+         sum(CASE WHEN cnt > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)::BIGINT AS simhash
+  FROM bitsum GROUP BY doc_id
+), sigs AS (
+  SELECT d.doc_id AS id, coalesce(f.simhash, 0)::BIGINT AS sh
+  FROM docs d LEFT JOIN folded f ON d.doc_id = f.doc_id
+), ex0 AS (
+  SELECT id, sh, b AS band_idx, (sh >> CAST(10 * b AS INT)) & 1023 AS band_bits
+  FROM sigs CROSS JOIN range(6) r(b)
+), ex AS (
+  -- bucket cap: drop band values held by more than 4 signatures
+  SELECT id, sh, band_idx, band_bits FROM (
+    SELECT ex0.*, count(*) OVER (PARTITION BY band_idx, band_bits) AS _n FROM ex0
+  ) WHERE _n <= 4
 )
 SELECT id_a, id_b, hamming FROM (
   SELECT a.id AS id_a, b.id AS id_b,
@@ -1711,10 +1808,12 @@ SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
 """,
         "minhash_signatures": minhash_sig_sql,
         "minhash_candidates": minhash_cand_sql,
+        "minhash_candidates_capped": minhash_cand_capped_sql,
         "ngram_jaccard": jaccard_sql,
         "ngram_jaccard_capped": jaccard_capped_sql,
         "simhash": simhash_sql,
         "simhash_candidates": simhash_cand_sql,
+        "simhash_candidates_capped": simhash_cand_capped_sql,
         "cosine_topk": cosine_sql,
         "multimodal_features": multimodal_sql,
         "csv_dim_lookup": csv_dim_sql,

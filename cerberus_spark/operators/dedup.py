@@ -271,6 +271,7 @@ def minhash_dup_candidates(
     id_col: str,
     bands: int = 4,
     rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH banding: ids sharing any full band of their signature.
 
@@ -278,6 +279,19 @@ def minhash_dup_candidates(
     pairs (a<b).  Output: (id_a, id_b, n_bands_shared).  The groupBy
     key is the band signature string — one shuffle, bucket-local pair
     generation (never a global cross join).
+
+    ``bucket_cap`` is the scale guard (same trade as ``df_cap`` in
+    :func:`ngram_jaccard_pairs`): a degenerate band signature shared by
+    d documents — templated/boilerplate corpora where thousands of
+    near-identical docs survive exact dedup — emits d·(d−1)/2 pairs
+    from ONE bucket, quadratic skew no partitioning fixes.  With a cap,
+    buckets with more than ``bucket_cap`` members are dropped whole
+    BEFORE pair generation (zero extra shuffles: the size test rides
+    the existing bucket aggregate), bounding every bucket's output at
+    cap·(cap−1)/2 pairs.  Dropped buckets mean dropped recall for the
+    documents inside them on THAT band only — they still pair through
+    their other, non-degenerate bands; callers wanting the dropped
+    population can aggregate ``F.size("ids") > cap`` themselves.
     """
     band_structs = [
         F.struct(
@@ -300,6 +314,8 @@ def minhash_dup_candidates(
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if bucket_cap is not None:
+        buckets = buckets.filter(F.size("ids") <= bucket_cap)
     # pair generation inside each bucket via nested transform+flatten
     pairs = buckets.select(
         F.explode(
@@ -581,6 +597,7 @@ def simhash_candidates(
     bands: int = 6,
     max_hamming: int = 5,
     impl: str = "arrow",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs via banded hamming-neighbor search:
     (id_a, id_b, hamming) with hamming ≤ ``max_hamming``, id_a < id_b.
@@ -597,6 +614,19 @@ def simhash_candidates(
     Docs with fewer than ``shingle_k`` words are excluded up front:
     their signature would be the all-zero vector and every such doc
     would spuriously pair with every other.
+
+    ``bucket_cap`` bounds the equi-join's per-bucket blowup (the same
+    quadratic-skew guard as ``bucket_cap`` in
+    :func:`minhash_dup_candidates` and ``df_cap`` in
+    :func:`ngram_jaccard_pairs`): band values held by more than
+    ``bucket_cap`` signatures — boilerplate corpora collapse thousands
+    of near-identical docs onto one band value — are dropped from BOTH
+    join sides before pair generation (one extra count aggregate on the
+    same (band_idx, band_bits) key + a broadcast-sized anti-join),
+    capping each bucket's output at cap·(cap−1)/2.  Dropped buckets
+    cost recall only for pairs whose EVERY shared band is degenerate;
+    pigeonhole recall stays exact for pairs that also agree on a
+    below-cap band.
     """
     if n_bits % bands:
         raise ValueError(f"n_bits={n_bits} not divisible by bands={bands}")
@@ -628,6 +658,16 @@ def simhash_candidates(
     ex = sigs.select(
         "id", "sh", F.explode(F.array(*band_structs)).alias("b")
     ).select("id", "sh", "b.band_idx", "b.band_bits")
+    if bucket_cap is not None:
+        # hot set = band values with more than bucket_cap members; tiny
+        # (≤ n·bands/cap buckets) so the anti-join broadcasts
+        hot = (
+            ex.groupBy("band_idx", "band_bits")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > bucket_cap)
+            .select("band_idx", "band_bits")
+        )
+        ex = ex.join(F.broadcast(hot), ["band_idx", "band_bits"], "left_anti")
     a, b = ex.alias("a"), ex.alias("b")
     return (
         a.join(

@@ -171,3 +171,46 @@ def test_ngram_df_cap_drops_hot_shingles(spark):
     assert (0, 1) in pu and (0, 1) not in pcap
     # the rare-shingle near-dup pair survives the cap
     assert (100, 101) in pu and (100, 101) in pcap
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """1,000 near-identical docs (survivors of exact dedup: each has a
+    distinct tail token) collapse onto shared MinHash band signatures.
+    Uncapped, one degenerate bucket would emit ~d*(d-1)/2 pairs; with
+    bucket_cap the candidate count is bounded by
+    n_buckets * cap*(cap-1)/2 and the job stays linear."""
+    from cerberus_spark.operators.dedup import simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, f"{base} tail{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df, "text", "doc_id", num_hashes=16, shingle_k=3)
+    cap = 4
+    capped = minhash_dup_candidates(
+        sigs, "doc_id", bands=4, rows_per_band=4, bucket_cap=cap
+    )
+    n = capped.count()
+    # 4 bands * at most (1000/cap) buckets... the real bound we care
+    # about: far below the ~500k pairs a single uncapped bucket emits
+    assert n <= 4 * 1000 // cap * (cap * (cap - 1) // 2)
+    assert n < 10_000
+    # simhash variant: same corpus, same boundedness
+    sh_capped = simhash_candidates(
+        df, "text", "doc_id", shingle_k=2, bands=6, max_hamming=5, bucket_cap=cap
+    )
+    assert sh_capped.count() < 10_000
+
+
+def test_minhash_bucket_cap_preserves_small_buckets(spark, docs_df):
+    """Pairs living in small buckets are untouched by a cap larger than
+    their bucket."""
+    sigs = minhash_signatures(docs_df, "text", "doc_id", num_hashes=16, shingle_k=3)
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_dup_candidates(sigs, "doc_id").collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_dup_candidates(sigs, "doc_id", bucket_cap=50).collect()
+    }
+    assert capped == uncapped and (0, 3) in capped
