@@ -84,6 +84,38 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested rule vocabulary over a struct derived in-query with
+    from_json: `schema` (subfield rules compiled to getField
+    predicates, dotted violation paths), `items` (array-element rules
+    via F.exists — no explode), and a `oneof` combinator.  Reference
+    analog: composed kernel pre-classifiers checking port AND
+    payload-content predicates on one packet (ebpf/cerberus_tc.c:
+    90-122).  Oracle recomputes the same violations with DuckDB
+    json_extract."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    base = ev.select(
+        "event_id",
+        # null out the struct for purchases so the nested `required`
+        # gate has a population to fire on
+        F.when(F.col("event_type") != "purchase", F.from_json("props", "k int")).alias("p"),
+        F.array(k, k + F.lit(5)).alias("tags"),
+        k.alias("x"),
+    )
+    rules = {
+        "p": {
+            "type": "dict",
+            "required": True,
+            "schema": {"k": {"required": True, "min": 5, "max": 90}},
+        },
+        "tags": {"type": "list", "items": {"max": 94}},
+        "x": {"oneof": [{"min": 10, "max": 80}, {"allowed": [50, 95]}]},
+    }
+    res = validate(base, rules, key_cols=["event_id"])
+    return res.violations().select("event_id", "field", "rule", "value")
+
+
 def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return validate(ev, EVENT_RULES, key_cols=["event_id"]).summary()
@@ -1070,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
         # --- new this round ---
+        "validate_nested": q_validate_nested,
         "minhash_candidates_capped": q_minhash_candidates_capped,
         "simhash_candidates_capped": q_simhash_candidates_capped,
         # --- registered r2 but never driver-gated ---
@@ -1474,6 +1507,33 @@ SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
     lang_case = "CASE " + " ".join(arms) + " ELSE 'und' END"
 
     out = {
+        "validate_nested": """
+WITH base AS (
+  SELECT event_id,
+         CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END AS p_present,
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+  FROM events
+)
+SELECT event_id, 'p' AS field, 'required' AS rule, NULL::VARCHAR AS value
+  FROM base WHERE p_present = 0
+UNION ALL
+SELECT event_id, 'p.k', 'required', NULL
+  FROM base WHERE p_present = 1 AND k IS NULL
+UNION ALL
+SELECT event_id, 'p.k', 'min', CAST(k AS VARCHAR)
+  FROM base WHERE p_present = 1 AND k < 5
+UNION ALL
+SELECT event_id, 'p.k', 'max', CAST(k AS VARCHAR)
+  FROM base WHERE p_present = 1 AND k > 90
+UNION ALL
+SELECT event_id, 'tags', 'items.max', CAST([k, k + 5] AS VARCHAR)
+  FROM base WHERE k + 5 > 94
+UNION ALL
+SELECT event_id, 'x', 'oneof', CAST(k AS VARCHAR)
+  FROM base
+ WHERE k IS NOT NULL
+   AND (CAST(k BETWEEN 10 AND 80 AS INT) + CAST(k IN (50, 95) AS INT)) <> 1
+""",
         "validate_events": f"""
 SELECT event_id, 'event_type' AS field, 'required' AS rule, CAST(event_type AS VARCHAR) AS value
   FROM events WHERE event_type IS NULL

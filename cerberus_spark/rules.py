@@ -34,6 +34,23 @@ Rule vocabulary (per field):
     vcheck:       name of a registered Arrow-vectorized checker
                   (pandas_udf; the designated slow path for semantics
                   Catalyst can't express)
+    schema:       nested field rules for dict (struct/map) fields —
+                  compiled to ``col.getField(sub)`` / ``col.getItem``
+                  predicates, violations reported as "parent.sub"; the
+                  reference's analog is composed kernel pre-classifiers
+                  checking port AND payload-content predicates on one
+                  packet (ebpf/cerberus_tc.c:90-122).  Recurses: a
+                  subfield may itself carry schema/items/anyof.
+    items:        element rules for list fields, evaluated via
+                  ``F.exists`` (a row violates "items.<rule>" when ANY
+                  element violates <rule>) — no explode, no shuffle;
+                  an element-level ``schema`` handles arrays of structs
+                  ("items.<sub>.<rule>").
+    anyof/oneof:  list of alternative value-rule dicts; the value must
+                  satisfy at least one (anyof) / exactly one (oneof)
+                  alternative in full.  Compiled to a disjunction /
+                  exact-count of per-alternative conjunctions — still
+                  one Catalyst predicate.
 
 Violation output is normalized rows ``(…keys, field, rule, value)`` —
 the engine's analog of the reference's CommunicationPattern finding rows
@@ -75,7 +92,16 @@ TYPE_MAP: dict[str, tuple[type, ...]] = {
 KNOWN_RULES = {
     "type", "required", "nullable", "allowed", "forbidden", "min", "max",
     "minlength", "maxlength", "regex", "empty", "dependencies", "custom",
-    "vcheck",
+    "vcheck", "schema", "items", "anyof", "oneof",
+}
+
+#: rules usable inside anyof/oneof alternatives and items dicts
+#: (pure value predicates — no nullability, no cross-field refs; "type"
+#: is excluded: a Spark column has exactly one type, checked at compile
+#: time on the field itself)
+VALUE_RULES = {
+    "allowed", "forbidden", "min", "max", "minlength", "maxlength",
+    "regex", "empty", "custom",
 }
 
 
@@ -127,6 +153,7 @@ class CompiledRule:
     field: str
     rule: str
     violated: Column  # boolean Column: True when the row VIOLATES the rule
+    value_col: Column | None = None  # reported value; defaults to col(field)
 
 
 @dataclass
@@ -138,13 +165,14 @@ class CompiledRuleSet:
         """One nullable struct<field,rule,value> per compiled rule."""
         out = []
         for r in self.rules:
+            vcol = r.value_col if r.value_col is not None else F.col(r.field)
             out.append(
                 F.when(
                     r.violated,
                     F.struct(
                         F.lit(r.field).alias("field"),
                         F.lit(r.rule).alias("rule"),
-                        F.col(r.field).cast("string").alias("value"),
+                        vcol.cast("string").alias("value"),
                     ),
                 )
             )
@@ -156,6 +184,333 @@ def _null_gate(col: Column, pred: Column) -> Column:
     rules); mirrors the reference's bounds-check-before-read discipline
     (ebpf/cerberus_tc.c:129-139)."""
     return col.isNotNull() & pred
+
+
+def _length_fn(dtype: T.DataType | None, want: str | None):
+    """strings/binary use F.length; arrays/maps use F.size (F.length on
+    an ArrayType raises AnalysisException at plan time).  Decide from
+    the actual type when known, else from the declared logical type."""
+    if dtype is not None:
+        return F.size if isinstance(dtype, (T.ArrayType, T.MapType)) else F.length
+    return F.size if want in ("list", "dict") else F.length
+
+
+def _value_pred(col: Column, rname: str, rval: Any, length_fn) -> Column:
+    """Raw (un-null-gated) violation predicate for one value rule
+    evaluated against an arbitrary Column expression — shared by
+    top-level fields, nested schema paths, array elements (inside
+    F.exists lambdas) and anyof/oneof alternatives."""
+    if rname == "allowed":
+        return ~col.isin(list(rval))
+    if rname == "forbidden":
+        return col.isin(list(rval))
+    if rname == "min":
+        return col < F.lit(rval)
+    if rname == "max":
+        return col > F.lit(rval)
+    if rname == "minlength":
+        return length_fn(col) < int(rval)
+    if rname == "maxlength":
+        return length_fn(col) > int(rval)
+    if rname == "regex":
+        # Cerberus semantics: the WHOLE value must match (re.fullmatch
+        # in the python twin).  Anchor with a non-capturing group:
+        # "^" + "cat|dog" + "$" would parse as (^cat)|(dog$) because
+        # alternation binds looser than the anchors.
+        return ~col.rlike(f"^(?:{rval})$")
+    if rname == "empty":
+        # only `empty: False` compiles to a rule; uses length_fn so it
+        # works on arrays/maps too (not just strings)
+        return length_fn(col) == 0
+    if rname == "custom":
+        return ~rval(col)
+    raise SchemaError(f"rule {rname!r} is not a value rule")
+
+
+#: deterministic emission order for value rules (dict order of user
+#: schemas is preserved elsewhere; within one field we fix the order)
+_VALUE_RULE_ORDER = (
+    "allowed", "forbidden", "min", "max", "minlength", "maxlength", "regex",
+)
+
+
+def _iter_value_rules(fr: dict[str, Any]):
+    """(rule_name, rule_value) for the plain value rules present in
+    ``fr``, in canonical order; `empty` only when explicitly False."""
+    for rname in _VALUE_RULE_ORDER:
+        if rname in fr:
+            yield rname, fr[rname]
+    if fr.get("empty", True) is False:
+        yield "empty", False
+    if "custom" in fr:
+        yield "custom", fr["custom"]
+
+
+def _alternative_ok(col: Column, alt: dict[str, Any], length_fn) -> Column:
+    """True when ``col`` (non-null) fully satisfies one anyof/oneof
+    alternative."""
+    if not isinstance(alt, dict) or not alt:
+        raise SchemaError("anyof/oneof alternatives must be non-empty dicts")
+    unknown = set(alt) - VALUE_RULES
+    if unknown:
+        raise SchemaError(
+            f"rule(s) {sorted(unknown)} not allowed inside anyof/oneof"
+        )
+    ok = F.lit(True)
+    for rname, rval in _iter_value_rules(alt):
+        ok = ok & ~F.coalesce(_value_pred(col, rname, rval, length_fn), F.lit(False))
+    return ok
+
+
+def _compile_field(
+    path: str,
+    col: Column,
+    fr: dict[str, Any],
+    dtype: T.DataType | None,
+    have_schema: bool,
+    rules: list[CompiledRule],
+    schema_errors: list[str],
+    parent: tuple[Column, T.DataType | None] | None = None,
+) -> None:
+    """Compile one field's rules (recursing into schema/items/anyof).
+
+    ``parent`` is (parent_col, parent_dtype) for nested paths — nested
+    required/nullable only fire when the parent itself is non-null, and
+    ``dependencies`` resolve against sibling subfields.
+    """
+    if not isinstance(fr, dict):
+        raise SchemaError(f"rules for field {path!r} must be a dict")
+    unknown = set(fr) - KNOWN_RULES
+    if unknown:
+        raise SchemaError(f"unknown rule(s) {sorted(unknown)} for field {path!r}")
+
+    # --- compile-time type check -------------------------------------
+    want = fr.get("type")
+    if want is not None:
+        accept = TYPE_MAP.get(want)
+        if accept is None:
+            raise SchemaError(f"unknown type {want!r} for field {path!r}")
+        if dtype is not None:
+            if not isinstance(dtype, accept):
+                schema_errors.append(
+                    f"field {path!r}: declared type {want!r}, "
+                    f"input has {dtype.simpleString()}"
+                )
+                return
+
+    null_violated = (
+        col.isNull() if parent is None else parent[0].isNotNull() & col.isNull()
+    )
+    if fr.get("required", False):
+        rules.append(CompiledRule(path, "required", null_violated, col))
+    elif fr.get("nullable", True) is False:
+        rules.append(CompiledRule(path, "nullable", null_violated, col))
+
+    length_fn = _length_fn(dtype, want)
+    for rname, rval in _iter_value_rules(fr):
+        rules.append(
+            CompiledRule(
+                path, rname, _null_gate(col, _value_pred(col, rname, rval, length_fn)), col
+            )
+        )
+
+    if "dependencies" in fr:
+        dep = fr["dependencies"]
+        if isinstance(dep, str):
+            dep = {dep: None}
+        elif isinstance(dep, (list, tuple)):
+            dep = {d: None for d in dep}
+        conds = []
+        for dfield, dval in dep.items():
+            if parent is None:
+                dcol = F.col(dfield)
+            else:  # sibling subfield of the same struct/map parent
+                dcol, _, known = _resolve_sub(parent[0], parent[1], dfield)
+                if not known:
+                    schema_errors.append(
+                        f"field {path!r}: dependency {dfield!r} not in parent schema"
+                    )
+                    continue
+            if dval is None:
+                conds.append(dcol.isNotNull())
+            elif isinstance(dval, (list, tuple, set)):
+                # coalesce(False): a NULL dependency column must mean
+                # NOT-met (three-valued logic would otherwise turn the
+                # whole predicate NULL and swallow the violation)
+                conds.append(F.coalesce(dcol.isin(list(dval)), F.lit(False)))
+            else:
+                conds.append(F.coalesce(dcol == F.lit(dval), F.lit(False)))
+        if conds:
+            deps_met = conds[0]
+            for c in conds[1:]:
+                deps_met = deps_met & c
+            # field may only be non-null when all dependencies hold
+            rules.append(CompiledRule(path, "dependencies", col.isNotNull() & ~deps_met, col))
+
+    if "vcheck" in fr:
+        name = fr["vcheck"]
+        fn = VCHECKS.get(name)
+        if fn is None:
+            raise SchemaError(f"unknown vcheck {name!r} for field {path!r}")
+        checker = F.pandas_udf(fn, T.BooleanType())
+        rules.append(
+            CompiledRule(path, f"vcheck:{name}", _null_gate(col, ~checker(col)), col)
+        )
+
+    # --- combinators: anyof / oneof ----------------------------------
+    for comb in ("anyof", "oneof"):
+        if comb not in fr:
+            continue
+        alts = fr[comb]
+        if not isinstance(alts, (list, tuple)) or not alts:
+            raise SchemaError(f"{comb} for field {path!r} must be a non-empty list")
+        oks = [_alternative_ok(col, alt, length_fn) for alt in alts]
+        if comb == "anyof":
+            any_ok = oks[0]
+            for o in oks[1:]:
+                any_ok = any_ok | o
+            rules.append(CompiledRule(path, "anyof", _null_gate(col, ~any_ok), col))
+        else:
+            n_ok = oks[0].cast("int")
+            for o in oks[1:]:
+                n_ok = n_ok + o.cast("int")
+            rules.append(CompiledRule(path, "oneof", _null_gate(col, n_ok != F.lit(1)), col))
+
+    # --- nested: schema over struct/map subfields --------------------
+    if "schema" in fr:
+        sub_schema = fr["schema"]
+        if not isinstance(sub_schema, dict):
+            raise SchemaError(f"schema for field {path!r} must be a dict")
+        if dtype is not None and not isinstance(dtype, (T.StructType, T.MapType)):
+            schema_errors.append(
+                f"field {path!r}: schema rule needs struct/map, "
+                f"input has {dtype.simpleString()}"
+            )
+        else:
+            for sub, sfr in sub_schema.items():
+                subcol, sub_dtype, known = _resolve_sub(col, dtype, sub)
+                if not known:
+                    schema_errors.append(
+                        f"field {path + '.' + sub!r} not present in input schema"
+                    )
+                    continue
+                _compile_field(
+                    f"{path}.{sub}", subcol, sfr, sub_dtype, have_schema,
+                    rules, schema_errors, parent=(col, dtype),
+                )
+
+    # --- nested: items over array elements ---------------------------
+    if "items" in fr:
+        ifr = fr["items"]
+        if not isinstance(ifr, dict):
+            raise SchemaError(f"items for field {path!r} must be a dict")
+        if dtype is not None and not isinstance(dtype, T.ArrayType):
+            schema_errors.append(
+                f"field {path!r}: items rule needs list, "
+                f"input has {dtype.simpleString()}"
+            )
+        else:
+            _compile_items(path, col, ifr, dtype, rules, schema_errors)
+
+
+def _resolve_sub(
+    parent_col: Column, parent_dtype: T.DataType | None, sub: str
+) -> tuple[Column, T.DataType | None, bool]:
+    """Resolve a subfield access: struct fields are compile-time
+    checked; map keys are dynamic (absent key -> NULL, so `required`
+    doubles as key-presence); unknown parent type assumes struct."""
+    if isinstance(parent_dtype, T.StructType):
+        if sub in parent_dtype.fieldNames():
+            return parent_col.getField(sub), parent_dtype[sub].dataType, True
+        return parent_col, None, False
+    if isinstance(parent_dtype, T.MapType):
+        return parent_col.getItem(sub), parent_dtype.valueType, True
+    return parent_col.getField(sub), None, True
+
+
+def _compile_items(
+    path: str,
+    col: Column,
+    ifr: dict[str, Any],
+    dtype: T.DataType | None,
+    rules: list[CompiledRule],
+    schema_errors: list[str],
+) -> None:
+    """Element rules via F.exists — a row violates "items.<rule>" when
+    ANY element violates it; no explode, no shuffle.  NULL elements
+    skip value rules (same null-gate discipline as fields)."""
+    elem_dtype = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+    unknown = set(ifr) - (VALUE_RULES | {"schema"})
+    if unknown:
+        raise SchemaError(
+            f"rule(s) {sorted(unknown)} not allowed inside items for {path!r}"
+        )
+    elem_len = _length_fn(elem_dtype, None)
+
+    def exists_pred(make):
+        # NULL element -> NULL pred; exists treats it as not-a-match
+        return _null_gate(col, F.exists(col, make))
+
+    # factories, not default-arg lambdas: F.exists inspects the
+    # callable's arity and would pass the element INDEX into a second
+    # (defaulted) parameter
+    def value_rule_factory(rname, rval):
+        return lambda e: _value_pred(e, rname, rval, elem_len)
+
+    for rname, rval in _iter_value_rules(ifr):
+        rules.append(
+            CompiledRule(
+                path, f"items.{rname}", exists_pred(value_rule_factory(rname, rval)), col
+            )
+        )
+
+    if "schema" in ifr:
+        # arrays of structs: per-element subfield rules
+        sub_schema = ifr["schema"]
+        if not isinstance(sub_schema, dict):
+            raise SchemaError(f"items.schema for field {path!r} must be a dict")
+        for sub, sfr in sub_schema.items():
+            if not isinstance(sfr, dict):
+                raise SchemaError(f"rules for {path}.items.{sub!r} must be a dict")
+            bad = set(sfr) - (VALUE_RULES | {"required"})
+            if bad:
+                raise SchemaError(
+                    f"rule(s) {sorted(bad)} not allowed inside items.schema"
+                )
+            sub_dtype = None
+            if isinstance(elem_dtype, T.StructType):
+                if sub not in elem_dtype.fieldNames():
+                    schema_errors.append(
+                        f"field {path + '.items.' + sub!r} not present in input schema"
+                    )
+                    continue
+                sub_dtype = elem_dtype[sub].dataType
+            sub_len = _length_fn(sub_dtype, sfr.get("type"))
+
+            def req_factory(s):
+                return lambda e: e.isNotNull() & e.getField(s).isNull()
+
+            def sub_rule_factory(s, rname, rval, lf):
+                def make(e):
+                    sc = e.getField(s)
+                    return sc.isNotNull() & _value_pred(sc, rname, rval, lf)
+                return make
+
+            if sfr.get("required", False):
+                rules.append(
+                    CompiledRule(
+                        path, f"items.{sub}.required", exists_pred(req_factory(sub)), col
+                    )
+                )
+            for rname, rval in _iter_value_rules(sfr):
+                rules.append(
+                    CompiledRule(
+                        path,
+                        f"items.{sub}.{rname}",
+                        exists_pred(sub_rule_factory(sub, rname, rval, sub_len)),
+                        col,
+                    )
+                )
 
 
 def compile_schema(
@@ -174,111 +529,14 @@ def compile_schema(
     for fname, fr in schema.items():
         if not isinstance(fr, dict):
             raise SchemaError(f"rules for field {fname!r} must be a dict")
-        unknown = set(fr) - KNOWN_RULES
-        if unknown:
-            raise SchemaError(f"unknown rule(s) {sorted(unknown)} for field {fname!r}")
         if df_schema is not None and fname not in fields_by_name:
             schema_errors.append(f"field {fname!r} not present in input schema")
             continue
-        col = F.col(fname)
-
-        # --- compile-time type check ---------------------------------
-        want = fr.get("type")
-        if want is not None:
-            accept = TYPE_MAP.get(want)
-            if accept is None:
-                raise SchemaError(f"unknown type {want!r} for field {fname!r}")
-            if df_schema is not None:
-                actual = fields_by_name[fname].dataType
-                if not isinstance(actual, accept):
-                    schema_errors.append(
-                        f"field {fname!r}: declared type {want!r}, "
-                        f"input has {actual.simpleString()}"
-                    )
-                    continue
-
-        nullable_ok = fr.get("nullable", True)
-
-        if fr.get("required", False):
-            rules.append(CompiledRule(fname, "required", col.isNull()))
-        elif nullable_ok is False:
-            rules.append(CompiledRule(fname, "nullable", col.isNull()))
-
-        if "allowed" in fr:
-            rules.append(
-                CompiledRule(fname, "allowed", _null_gate(col, ~col.isin(list(fr["allowed"]))))
-            )
-        if "forbidden" in fr:
-            rules.append(
-                CompiledRule(fname, "forbidden", _null_gate(col, col.isin(list(fr["forbidden"]))))
-            )
-        if "min" in fr:
-            rules.append(CompiledRule(fname, "min", _null_gate(col, col < F.lit(fr["min"]))))
-        if "max" in fr:
-            rules.append(CompiledRule(fname, "max", _null_gate(col, col > F.lit(fr["max"]))))
-        # length vs size: strings/binary use F.length; arrays/maps use
-        # F.size (F.length on an ArrayType raises AnalysisException at
-        # plan time).  Decide from the actual DataFrame type when we
-        # have it, else from the declared logical type.
-        if df_schema is not None:
-            _is_collection = isinstance(
-                fields_by_name[fname].dataType, (T.ArrayType, T.MapType)
-            )
-        else:
-            _is_collection = want in ("list", "dict")
-        length_fn = F.size if _is_collection else F.length
-        if "minlength" in fr:
-            rules.append(
-                CompiledRule(fname, "minlength", _null_gate(col, length_fn(col) < int(fr["minlength"])))
-            )
-        if "maxlength" in fr:
-            rules.append(
-                CompiledRule(fname, "maxlength", _null_gate(col, length_fn(col) > int(fr["maxlength"])))
-            )
-        if "regex" in fr:
-            # Cerberus semantics: the WHOLE value must match
-            # (re.fullmatch in the python twin).  Anchor with a
-            # non-capturing group: "^" + "cat|dog" + "$" would parse as
-            # (^cat)|(dog$) because alternation binds looser than the
-            # anchors, wrongly matching "category".
-            anchored = f"^(?:{fr['regex']})$"
-            rules.append(CompiledRule(fname, "regex", _null_gate(col, ~col.rlike(anchored))))
-        if fr.get("empty", True) is False:
-            rules.append(CompiledRule(fname, "empty", _null_gate(col, F.length(col) == 0)))
-        if "dependencies" in fr:
-            dep = fr["dependencies"]
-            if isinstance(dep, str):
-                dep = {dep: None}
-            elif isinstance(dep, (list, tuple)):
-                dep = {d: None for d in dep}
-            conds = []
-            for dfield, dval in dep.items():
-                dcol = F.col(dfield)
-                if dval is None:
-                    conds.append(dcol.isNotNull())
-                elif isinstance(dval, (list, tuple, set)):
-                    # coalesce(False): a NULL dependency column must
-                    # mean NOT-met (SQL three-valued logic would
-                    # otherwise turn the whole predicate NULL and
-                    # silently swallow the violation)
-                    conds.append(F.coalesce(dcol.isin(list(dval)), F.lit(False)))
-                else:
-                    conds.append(F.coalesce(dcol == F.lit(dval), F.lit(False)))
-            deps_met = conds[0]
-            for c in conds[1:]:
-                deps_met = deps_met & c
-            # field may only be non-null when all dependencies hold
-            rules.append(CompiledRule(fname, "dependencies", col.isNotNull() & ~deps_met))
-        if "custom" in fr:
-            valid = fr["custom"](col)
-            rules.append(CompiledRule(fname, "custom", _null_gate(col, ~valid)))
-        if "vcheck" in fr:
-            name = fr["vcheck"]
-            fn = VCHECKS.get(name)
-            if fn is None:
-                raise SchemaError(f"unknown vcheck {name!r} for field {fname!r}")
-            checker = F.pandas_udf(fn, T.BooleanType())
-            rules.append(CompiledRule(fname, f"vcheck:{name}", _null_gate(col, ~checker(col))))
+        dtype = fields_by_name[fname].dataType if df_schema is not None else None
+        _compile_field(
+            fname, F.col(fname), fr, dtype, df_schema is not None,
+            rules, schema_errors,
+        )
 
     return CompiledRuleSet(rules=rules, schema_errors=schema_errors)
 
@@ -289,38 +547,56 @@ def compile_schema(
 # per-turn under stable (conv_id, turn_idx) ordering.
 # ---------------------------------------------------------------------------
 
-def python_validate(row: dict[str, Any], schema: dict[str, dict[str, Any]]) -> list[tuple[str, str, Any]]:
-    """Return [(field, rule, value), ...] violations for one row."""
-    out: list[tuple[str, str, Any]] = []
+def _py_value_violations(v: Any, fr: dict[str, Any]) -> list[str]:
+    """Violated value-rule names for one non-null python value (the
+    twin of :func:`_value_pred` + :func:`_iter_value_rules` order)."""
+    out: list[str] = []
+    if "allowed" in fr and v not in fr["allowed"]:
+        out.append("allowed")
+    if "forbidden" in fr and v in fr["forbidden"]:
+        out.append("forbidden")
+    if "min" in fr and v < fr["min"]:
+        out.append("min")
+    if "max" in fr and v > fr["max"]:
+        out.append("max")
+    if "minlength" in fr and len(v) < fr["minlength"]:
+        out.append("minlength")
+    if "maxlength" in fr and len(v) > fr["maxlength"]:
+        out.append("maxlength")
+    if "regex" in fr and not re.fullmatch(fr["regex"], v):
+        out.append("regex")
+    if fr.get("empty", True) is False and hasattr(v, "__len__") and len(v) == 0:
+        out.append("empty")
+    return out
 
-    def length_of(v: Any) -> int:
-        return len(v)
+
+def python_validate(
+    row: dict[str, Any],
+    schema: dict[str, dict[str, Any]],
+    _prefix: str = "",
+    _parent: dict[str, Any] | None = None,
+) -> list[tuple[str, str, Any]]:
+    """Return [(field, rule, value), ...] violations for one row.
+
+    ``_prefix``/``_parent`` carry nested-schema recursion state: field
+    names become dotted paths and dependencies resolve against the
+    enclosing dict.
+    """
+    out: list[tuple[str, str, Any]] = []
+    scope = row if _parent is None else _parent
 
     for fname, fr in schema.items():
         v = row.get(fname)
+        path = _prefix + fname
         if fr.get("required", False):
             if v is None:
-                out.append((fname, "required", v))
+                out.append((path, "required", v))
         elif fr.get("nullable", True) is False:
             if v is None:
-                out.append((fname, "nullable", v))
+                out.append((path, "nullable", v))
         if v is not None:
-            if "allowed" in fr and v not in fr["allowed"]:
-                out.append((fname, "allowed", v))
-            if "forbidden" in fr and v in fr["forbidden"]:
-                out.append((fname, "forbidden", v))
-            if "min" in fr and v < fr["min"]:
-                out.append((fname, "min", v))
-            if "max" in fr and v > fr["max"]:
-                out.append((fname, "max", v))
-            if "minlength" in fr and length_of(v) < fr["minlength"]:
-                out.append((fname, "minlength", v))
-            if "maxlength" in fr and length_of(v) > fr["maxlength"]:
-                out.append((fname, "maxlength", v))
-            if "regex" in fr and not re.fullmatch(fr["regex"], v):
-                out.append((fname, "regex", v))
-            if fr.get("empty", True) is False and isinstance(v, str) and len(v) == 0:
-                out.append((fname, "empty", v))
+            for rname in _py_value_violations(v, fr):
+                out.append((path, rname, v))
             if "dependencies" in fr:
                 dep = fr["dependencies"]
                 if isinstance(dep, str):
@@ -329,7 +605,7 @@ def python_validate(row: dict[str, Any], schema: dict[str, dict[str, Any]]) -> l
                     dep = {d: None for d in dep}
                 met = True
                 for dfield, dval in dep.items():
-                    dv = row.get(dfield)
+                    dv = scope.get(dfield)
                     if dval is None:
                         met = met and dv is not None
                     elif isinstance(dval, (list, tuple, set)):
@@ -337,12 +613,55 @@ def python_validate(row: dict[str, Any], schema: dict[str, dict[str, Any]]) -> l
                     else:
                         met = met and dv == dval
                 if not met:
-                    out.append((fname, "dependencies", v))
+                    out.append((path, "dependencies", v))
+            if "custom" in fr:
+                # python twin expects a plain predicate here
+                if not fr["custom"](v):
+                    out.append((path, "custom", v))
             if "vcheck" in fr:
                 fn = VCHECKS[fr["vcheck"]]
                 ok = bool(fn(pd.Series([v])).iloc[0])
                 if not ok:
-                    out.append((fname, f"vcheck:{fr['vcheck']}", v))
+                    out.append((path, f"vcheck:{fr['vcheck']}", v))
+            for comb in ("anyof", "oneof"):
+                if comb in fr:
+                    n_ok = sum(
+                        1 for alt in fr[comb] if not _py_value_violations(v, alt)
+                    )
+                    if comb == "anyof" and n_ok == 0:
+                        out.append((path, "anyof", v))
+                    if comb == "oneof" and n_ok != 1:
+                        out.append((path, "oneof", v))
+            if "schema" in fr and isinstance(v, dict):
+                out.extend(
+                    python_validate(v, fr["schema"], _prefix=path + ".", _parent=v)
+                )
+            if "items" in fr and isinstance(v, list):
+                ifr = fr["items"]
+                seen: list[str] = []
+                for e in v:
+                    if e is None:
+                        continue
+                    if isinstance(e, dict):
+                        continue  # struct elements handled below
+                    for rname in _py_value_violations(e, ifr):
+                        if f"items.{rname}" not in seen:
+                            seen.append(f"items.{rname}")
+                if "schema" in ifr:
+                    for sub, sfr in ifr["schema"].items():
+                        for e in v:
+                            if not isinstance(e, dict):
+                                continue
+                            sv = e.get(sub)
+                            if sfr.get("required", False) and sv is None:
+                                if f"items.{sub}.required" not in seen:
+                                    seen.append(f"items.{sub}.required")
+                            if sv is not None:
+                                for rname in _py_value_violations(sv, sfr):
+                                    if f"items.{sub}.{rname}" not in seen:
+                                        seen.append(f"items.{sub}.{rname}")
+                for rule in seen:
+                    out.append((path, rule, v))
     return out
 
 

@@ -187,3 +187,119 @@ def test_classifier_cascade_matches_python(_spark, arms, values):
     got = {r["rid"]: r["label"] for r in c.apply(df).collect()}
     exp = {i: py_classify(v) for i, v in enumerate(values)}
     assert got == exp, f"arms={arms} values={values}"
+
+
+# ---------------------------------------------------------------------------
+# property: nested vocabulary (schema / items / anyof) == python twin
+# ---------------------------------------------------------------------------
+
+@st.composite
+def nested_struct_rules(draw):
+    """Rules for p: struct<k:string, n:int> via the `schema` rule."""
+    k_rules: dict = {}
+    if draw(st.booleans()):
+        k_rules["required"] = draw(st.booleans())
+    if draw(st.booleans()):
+        k_rules["allowed"] = draw(st.lists(label_values, min_size=1, max_size=3, unique=True))
+    if draw(st.booleans()):
+        k_rules["regex"] = draw(st.sampled_from([r"[a-z]+", r"X|Y"]))
+    n_rules: dict = {}
+    if draw(st.booleans()):
+        n_rules["min"] = draw(st.integers(min_value=-50, max_value=50))
+    if draw(st.booleans()):
+        n_rules["max"] = draw(st.integers(min_value=-50, max_value=50))
+    if draw(st.booleans()):
+        n_rules["dependencies"] = {"k": draw(label_values)}
+    fr: dict = {"type": "dict", "schema": {"k": k_rules, "n": n_rules}}
+    if draw(st.booleans()):
+        fr["required"] = draw(st.booleans())
+    return fr
+
+
+@st.composite
+def items_rules(draw):
+    ifr: dict = {}
+    if draw(st.booleans()):
+        ifr["min"] = draw(st.integers(min_value=-20, max_value=20))
+    if draw(st.booleans()):
+        ifr["max"] = draw(st.integers(min_value=-20, max_value=20))
+    if draw(st.booleans()):
+        ifr["forbidden"] = draw(st.lists(st.integers(-5, 5), min_size=1, max_size=3, unique=True))
+    fr: dict = {"type": "list", "items": ifr}
+    if draw(st.booleans()):
+        fr["minlength"] = draw(st.integers(min_value=0, max_value=3))
+    return fr
+
+
+@st.composite
+def anyof_rules(draw):
+    n_alts = draw(st.integers(min_value=1, max_value=3))
+    alts = []
+    for _ in range(n_alts):
+        alt: dict = {}
+        kind = draw(st.integers(min_value=0, max_value=2))
+        if kind == 0:
+            alt["min"] = draw(st.integers(-20, 20))
+            if draw(st.booleans()):
+                alt["max"] = draw(st.integers(-20, 20))
+        elif kind == 1:
+            alt["allowed"] = draw(st.lists(st.integers(-10, 10), min_size=1, max_size=4, unique=True))
+        else:
+            alt["forbidden"] = draw(st.lists(st.integers(-10, 10), min_size=1, max_size=2, unique=True))
+        alts.append(alt)
+    comb = draw(st.sampled_from(["anyof", "oneof"]))
+    return {comb: alts}
+
+
+struct_or_none = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({"k": str_or_none, "n": int_or_none}),
+)
+intlist_or_none = st.one_of(
+    st.none(),
+    st.lists(st.one_of(st.none(), st.integers(-25, 25)), max_size=5),
+)
+
+nested_rows_strategy = st.lists(
+    st.fixed_dictionaries(
+        {"p": struct_or_none, "a": intlist_or_none, "x": int_or_none}
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+nested_schema_strategy = st.fixed_dictionaries(
+    {"p": nested_struct_rules(), "a": items_rules(), "x": anyof_rules()}
+)
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(schema=nested_schema_strategy, rows=nested_rows_strategy)
+def test_nested_rules_match_python_twin(_spark, schema, rows):
+    spark = _spark
+    data = [
+        (
+            idx,
+            None if r["p"] is None else (r["p"]["k"], r["p"]["n"]),
+            r["a"],
+            r["x"],
+        )
+        for idx, r in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "rid int, p struct<k:string,n:int>, a array<int>, x int"
+    )
+    res = validate(df, schema, key_cols=["rid"])
+    got = {
+        (r["rid"], r["field"], r["rule"]) for r in res.violations().collect()
+    }
+    exp = {
+        (idx, f, rule)
+        for idx, r in enumerate(rows)
+        for (f, rule, _v) in python_validate(r, schema)
+    }
+    assert got == exp, f"schema={schema} rows={rows}"

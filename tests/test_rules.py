@@ -174,3 +174,133 @@ def test_unknown_rule_raises():
 def test_unknown_type_raises():
     with pytest.raises(SchemaError):
         compile_schema({"a": {"type": "quux"}})
+
+
+# ---------------------------------------------------------------------------
+# nested vocabulary: schema / items / anyof / oneof
+# ---------------------------------------------------------------------------
+
+NESTED_DDL = (
+    "id int, props struct<tool_name:string,n_calls:int,args:map<string,string>>, "
+    "tags array<string>, turns array<struct<role:string,n:int>>, x int"
+)
+NESTED_ROWS = [
+    # id, props(tool_name, n_calls, args), tags, turns, x
+    (0, ("search", 2, {"q": "a"}), ["ok", "good"], [("user", 1)], 5),
+    (1, (None, -1, {}), ["toolong-tag"], [("critic", -3)], 40),   # nested violations
+    (2, None, [], [], -2),                                        # null parent: no nested rules fire
+    (3, ("bash!", 7, None), None, None, 11),
+]
+NESTED_RULES = {
+    "props": {
+        "type": "dict",
+        "schema": {
+            "tool_name": {"required": True, "regex": "[a-z_]+"},
+            "n_calls": {"min": 0, "max": 5},
+        },
+    },
+    "tags": {"type": "list", "items": {"maxlength": 8}},
+    "turns": {
+        "type": "list",
+        "items": {
+            "schema": {
+                "role": {"required": True, "allowed": ["user", "assistant"]},
+                "n": {"min": 0},
+            }
+        },
+    },
+    "x": {"anyof": [{"min": 0, "max": 10}, {"allowed": [40]}]},
+}
+
+
+def _nested_dicts():
+    out = []
+    for rid, props, tags, turns, x in NESTED_ROWS:
+        p = None if props is None else dict(zip(("tool_name", "n_calls", "args"), props))
+        t = None if turns is None else [dict(zip(("role", "n"), e)) for e in turns]
+        out.append({"id": rid, "props": p, "tags": tags, "turns": t, "x": x})
+    return out
+
+
+def test_nested_vocabulary_parity(spark):
+    df = spark.createDataFrame(NESTED_ROWS, NESTED_DDL)
+    res = validate(df, NESTED_RULES, key_cols=["id"])
+    got = sorted((r.id, r.field, r.rule) for r in res.violations().collect())
+    exp = sorted(
+        (row["id"], f, rule)
+        for row in _nested_dicts()
+        for (f, rule, _v) in python_validate(row, NESTED_RULES)
+    )
+    assert got == exp
+    fired = {(f, r) for (_i, f, r) in got}
+    # every nested shape actually fires on this fixture
+    assert ("props.tool_name", "required") in fired   # row 1
+    assert ("props.tool_name", "regex") in fired      # row 3 ("bash!")
+    assert ("props.n_calls", "min") in fired          # row 1
+    assert ("props.n_calls", "max") in fired          # row 3
+    assert ("tags", "items.maxlength") in fired       # row 1
+    assert ("turns", "items.role.allowed") in fired   # row 1
+    assert ("turns", "items.n.min") in fired          # row 1
+    assert ("x", "anyof") in fired                    # row 2 (-2)
+    # null parent: row 2 has NO nested violations
+    assert not any(i == 2 and f.startswith("props.") for (i, f, _r) in got)
+
+
+def test_nested_map_key_rules(spark):
+    """schema over a map column: absent key -> NULL -> required fires."""
+    df = spark.createDataFrame(
+        [(0, {"lang": "en", "n": "3"}), (1, {"n": "9"}), (2, None)],
+        "id int, meta map<string,string>",
+    )
+    rules = {"meta": {"schema": {"lang": {"required": True, "allowed": ["en", "fr"]}}}}
+    res = validate(df, rules, key_cols=["id"])
+    got = sorted((r.id, r.field, r.rule) for r in res.violations().collect())
+    assert got == [(1, "meta.lang", "required")]
+
+
+def test_oneof_exactly_one(spark):
+    df = spark.createDataFrame([(0, 5), (1, 40), (2, 7), (3, -1), (4, None)], "id int, x int")
+    # 5 matches both alternatives -> oneof violated; 7 matches only the
+    # first; 40 only the second; -1 neither
+    rules = {"x": {"oneof": [{"min": 0, "max": 10}, {"allowed": [5, 40]}]}}
+    res = validate(df, rules, key_cols=["id"])
+    got = sorted(r.id for r in res.violations().collect())
+    assert got == [0, 3]
+    twin = sorted(
+        row["id"]
+        for row in [{"id": i, "x": x} for i, x in [(0, 5), (1, 40), (2, 7), (3, -1), (4, None)]]
+        for _ in python_validate(row, rules)
+    )
+    assert twin == got
+
+
+def test_empty_false_on_list_uses_size(spark):
+    """`empty: False` on an array field must compile to F.size (the old
+    F.length raised AnalysisException at validate time)."""
+    df = spark.createDataFrame([(0, []), (1, ["a"]), (2, None)], "id int, l array<string>")
+    res = validate(df, {"l": {"type": "list", "empty": False}}, key_cols=["id"])
+    got = [r.id for r in res.violations().collect()]
+    assert got == [0]
+
+
+def test_nested_dependencies_resolve_against_siblings(spark):
+    """dependencies inside a nested schema reference sibling subfields."""
+    df = spark.createDataFrame(
+        [(0, ("tool", "search")), (1, ("user", "search")), (2, ("user", None))],
+        "id int, p struct<role:string,tool:string>",
+    )
+    rules = {"p": {"schema": {"tool": {"dependencies": {"role": "tool"}}}}}
+    res = validate(df, rules, key_cols=["id"])
+    got = sorted((r.id, r.field, r.rule) for r in res.violations().collect())
+    assert got == [(1, "p.tool", "dependencies")]
+
+
+def test_nested_unknown_subfield_is_schema_error(spark):
+    df = spark.createDataFrame([(0, ("a",))], "id int, p struct<k:string>")
+    res = validate(df, {"p": {"schema": {"zzz": {"required": True}}}}, key_cols=["id"])
+    assert res.schema_errors and "p.zzz" in res.schema_errors[0]
+
+
+def test_vcheck_inside_items_raises():
+    with pytest.raises(SchemaError):
+        compile_schema({"l": {"items": {"vcheck": "printable"}}})
