@@ -2,12 +2,17 @@
 near-duplicate PAIRS (MinHash/SimHash/Jaccard output) into duplicate
 CLUSTERS with one canonical survivor each.
 
-Iterative min-label propagation: every node starts labeled with itself;
-each round a node takes the min of its own and its neighbors' labels;
-fixpoint = components labeled by their smallest member.  Rounds needed
-= graph diameter — for near-dup clusters that is tiny (dup clusters are
-dense), and label propagation halves distances, so ``max_iters`` ~20
-covers diameters to ~2^20.
+Iterative min-label propagation WITH pointer shortcutting: every node
+starts labeled with itself; each round a node takes the min of its own
+and its neighbors' labels, then jumps to its label's label
+(path-halving, the classic pointer-doubling trick).  Plain neighbor
+propagation alone moves the min ONE hop per round (rounds = component
+diameter); the shortcut step composes the label mapping with itself, so
+remaining label-chain lengths roughly halve each round and the fixpoint
+arrives in ~log2(diameter) rounds — ``max_iters`` 20 covers diameters
+to ~2^20 (tests prove a 128-edge path graph inside 12 rounds).  For
+near-dup clusters (dense, diameter 1-2) either scheme is 2-3 rounds;
+the shortcut is what makes chain-shaped accident graphs safe.
 
 Scale shape per round: one join (labels ⋈ edges, both keyed on node id)
 + one min-aggregate — shuffle-bounded by |edges|.  The loop runs on the
@@ -51,11 +56,22 @@ def connected_components(
         nb = sym.join(
             labels.select(F.col("id").alias("b"), F.col("lbl")), "b"
         ).select(F.col("a").alias("id"), "lbl")
-        new_labels = (
+        stepped = (
             labels.select("id", "lbl")
             .union(nb)
             .groupBy("id")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer shortcutting: follow lbl -> lbl(lbl) so label chains
+        # halve per round (one extra |nodes|-sized join, tiny next to
+        # the |edges| join above)
+        new_labels = (
+            stepped.join(
+                labels.select(F.col("id").alias("lbl"), F.col("lbl").alias("lbl2")),
+                "lbl",
+                "left",
+            )
+            .select("id", F.least("lbl", "lbl2").alias("lbl"))
         ).localCheckpoint()
         changed = (
             new_labels.join(

@@ -29,15 +29,25 @@ def pack_documents(
     id_col: str,
     tokens_col: str | Column,
     budget: int,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Assign (bucket, pack_id) to every document.
 
     Output: input columns + ``bucket``, ``pack_id``, ``n_tokens``.
     ``tokens_col`` may be a column name or an expression (e.g. a token
     counter over the text column).
+
+    ``n_buckets`` sizes the window partitions: each bucket is
+    |corpus|/n_buckets rows sorted in ONE task.  The default scales
+    with the cluster — ``max(64, defaultParallelism * 4)`` — so a job
+    that moves from local[32] to 1,000 executors does not silently sort
+    |corpus|/64 rows per task; pass it explicitly to pin pack layout
+    across cluster sizes (the ids are deterministic for a GIVEN
+    n_buckets, and change when it changes).
     """
     tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    if n_buckets is None:
+        n_buckets = max(64, df.sparkSession.sparkContext.defaultParallelism * 4)
     base = df.withColumn("n_tokens", tokens.cast("long")).withColumn(
         "bucket", F.pmod(md5_i64(F.col(id_col).cast("string")), F.lit(n_buckets))
     )

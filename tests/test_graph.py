@@ -40,3 +40,17 @@ def test_dedup_clusters_survivor_flags(spark):
         30: (30, 2, True),
         31: (30, 2, False),
     }
+
+
+def test_path_graph_converges_logarithmically(spark):
+    """A 128-edge chain (diameter 128) must converge within the
+    documented ~log2(diameter) bound — plain one-hop propagation would
+    need 128 rounds; pointer shortcutting gets there in ~log2."""
+    from cerberus_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(128)], "id_a long, id_b long"
+    )
+    cc = connected_components(edges, max_iters=12)
+    got = {r.id: r.cluster_id for r in cc.collect()}
+    assert got == {i: 0 for i in range(129)}

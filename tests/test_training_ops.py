@@ -270,3 +270,20 @@ def test_vocabulary_counts(spark):
     assert got == {"spark": (2, 3), "flink": (1, 1), "beam": (1, 1)}
     top = vocabulary(df, "text", "doc_id", min_df=2)
     assert [r.term for r in top.collect()] == ["spark"]
+
+
+def test_pack_documents_default_buckets_scale_with_parallelism(spark):
+    """Unset n_buckets derives from defaultParallelism (>=64 floor), so
+    partition-sized sorts shrink as the cluster grows — the old fixed
+    64 made each bucket |corpus|/64 rows in ONE task at any scale."""
+    dp = spark.sparkContext.defaultParallelism
+    expected = max(64, dp * 4)
+    rows = [(i, 10 + (i % 7)) for i in range(20 * expected)]
+    df = spark.createDataFrame(rows, "doc_id long, toks int")
+    out = pack_documents(df, "doc_id", "toks", budget=100)
+    buckets = [r.bucket for r in out.select("bucket").distinct().collect()]
+    assert 0 <= min(buckets) and max(buckets) < expected
+    # md5 spreads ~uniformly: with 20 rows/bucket expected, far more
+    # than 64 distinct buckets must appear when the default is scaled
+    if expected > 64:
+        assert len(buckets) > 64
