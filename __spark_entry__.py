@@ -116,6 +116,31 @@ def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.violations().select("event_id", "field", "rule", "value")
 
 
+def q_sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches: per-(event_type, day) fixed-bin
+    histogram states merged UP to event_type by vector addition (no
+    rescan of raw data — the re-aggregatable percentile rollup shape;
+    cerberus_spark.checks.sketches), then interpolated q50/q90 read
+    from the merged state.  The DuckDB oracle recomputes the identical
+    binning + interpolation, proving the merge is exact."""
+    from cerberus_spark.checks.sketches import (
+        histogram_group_sketches,
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    per = histogram_group_sketches(ev, ["event_type", "day"], "value", 0.0, 500.0, n_bins=100)
+    merged = histogram_rollup(per, ["event_type"])
+    total = F.aggregate(F.col("state"), F.lit(0).cast("long"), lambda a, x: a + x)
+    return merged.select(
+        "event_type",
+        total.alias("n_values"),
+        F.round(histogram_quantile(F.col("state"), 0.5, 0.0, 500.0), 4).alias("q50"),
+        F.round(histogram_quantile(F.col("state"), 0.9, 0.0, 500.0), 4).alias("q90"),
+    )
+
+
 def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return validate(ev, EVENT_RULES, key_cols=["event_id"]).summary()
@@ -1103,6 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "validate_nested": q_validate_nested,
+        "sketch_quantiles": q_sketch_quantiles,
         "minhash_candidates_capped": q_minhash_candidates_capped,
         "simhash_candidates_capped": q_simhash_candidates_capped,
         # --- registered r2 but never driver-gated ---
@@ -1507,6 +1533,40 @@ SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 3
     lang_case = "CASE " + " ".join(arms) + " ELSE 'und' END"
 
     out = {
+        "sketch_quantiles": """
+WITH binned AS (
+  SELECT event_type,
+         CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 101
+              ELSE CAST(floor(value / 5.0) AS INT) + 1 END AS bin
+  FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT event_type, bin, count(*)::BIGINT AS cnt FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, sum(cnt)::BIGINT AS n_values FROM counts GROUP BY 1
+), cum AS (
+  SELECT event_type, bin, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM counts
+), hit AS (
+  SELECT c.event_type, q.p, c.bin, c.cnt, c.cum, t.n_values,
+         greatest(CAST(ceil(q.p * t.n_values) AS BIGINT), 1) AS target
+  FROM cum c
+  JOIN tot t USING (event_type)
+  CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p) q
+  WHERE c.cum >= greatest(CAST(ceil(q.p * t.n_values) AS BIGINT), 1)
+  QUALIFY row_number() OVER (PARTITION BY c.event_type, q.p ORDER BY c.bin) = 1
+), vals AS (
+  SELECT event_type, p, n_values,
+         CASE WHEN bin = 0 THEN 0.0 WHEN bin = 101 THEN 500.0
+              ELSE ((bin - 1) + (target - (cum - cnt))::DOUBLE / cnt) * 5.0
+         END AS v
+  FROM hit
+)
+SELECT event_type, max(n_values)::BIGINT AS n_values,
+       round(max(CASE WHEN p = 0.5 THEN v END), 4) AS q50,
+       round(max(CASE WHEN p = 0.9 THEN v END), 4) AS q90
+FROM vals GROUP BY event_type
+""",
         "validate_nested": """
 WITH base AS (
   SELECT event_id,

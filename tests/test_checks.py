@@ -126,3 +126,73 @@ def test_nulls_binned_separately(spark):
     df = spark.createDataFrame([("a",), (None,), (None,)], "x string")
     h = {r.bin: r["count"] for r in categorical_histogram(df, "x").collect()}
     assert h == {"a": 1, "__null__": 2}
+
+
+def test_histogram_sketch_rollup_matches_direct(spark):
+    """Union of per-group histogram states must be BIT-identical to a
+    direct global sketch (vector addition is associative/commutative),
+    mirroring the HLL proof; quantile estimates must land within one
+    bin width of the exact percentile."""
+    from cerberus_spark.checks.sketches import (
+        histogram_group_sketches,
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    # skewed data: v = (i*i) % 997, range [0, 997)
+    df = spark.range(0, 30000).select(
+        (F.col("id") % 30).alias("day"),
+        ((F.col("id") * F.col("id")) % 997).cast("double").alias("v"),
+    )
+    per_day = histogram_group_sketches(df, ["day"], "v", 0.0, 1000.0, n_bins=200)
+    assert per_day.count() == 30
+    merged = histogram_rollup(per_day).collect()[0].state
+    direct = (
+        histogram_group_sketches(
+            df.withColumn("g", F.lit(1)), ["g"], "v", 0.0, 1000.0, n_bins=200
+        )
+        .collect()[0]
+        .state
+    )
+    assert merged == direct
+    assert sum(merged) == 30000
+    # two-level merge (partials of partials) is also identical
+    half1 = histogram_rollup(per_day.filter(F.col("day") < 15))
+    half2 = histogram_rollup(per_day.filter(F.col("day") >= 15))
+    two_level = histogram_rollup(half1.unionByName(half2)).collect()[0].state
+    assert two_level == direct
+    # quantile accuracy: within one bin width (5.0) of exact
+    import numpy as np
+
+    exact = np.percentile([(i * i) % 997 for i in range(30000)], [50, 90, 99])
+    got = (
+        histogram_rollup(per_day)
+        .select(
+            *[
+                histogram_quantile(F.col("state"), q, 0.0, 1000.0).alias(f"q{int(q*100)}")
+                for q in (0.5, 0.9, 0.99)
+            ]
+        )
+        .collect()[0]
+    )
+    for g, e in zip((got.q50, got.q90, got.q99), exact):
+        assert abs(g - e) <= 5.0, (g, e)
+
+
+def test_histogram_sketch_under_overflow_clamp(spark):
+    from cerberus_spark.checks.sketches import (
+        histogram_group_sketches,
+        histogram_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (200.0,), (50.0,), (None,)], "v double"
+    ).withColumn("g", F.lit(1))
+    sk = histogram_group_sketches(df, ["g"], "v", 0.0, 100.0, n_bins=10)
+    state = sk.collect()[0].state
+    assert len(state) == 12 and state[0] == 1 and state[-1] == 1 and sum(state) == 3
+    row = sk.select(
+        histogram_quantile("state", 0.01, 0.0, 100.0).alias("a"),
+        histogram_quantile("state", 0.99, 0.0, 100.0).alias("b"),
+    ).collect()[0]
+    assert row.a == 0.0 and row.b == 100.0

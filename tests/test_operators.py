@@ -171,3 +171,26 @@ def test_sessionize_brute_force(spark):
     out = sessionize(df, "key", "ts", gap_seconds=1800, tiebreak="eid")
     got = {r.eid: r.session_id for r in out.collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_no_exact_session_gap_boundary_in_testdata():
+    """session_window_stats shares the sessionize oracle on the claim
+    that no per-user consecutive-ts delta is exactly 1800s (built-in
+    session_window splits at gap >= 30min, the SQL twin at > 30min).
+    Assert the invariant so a data-generator change fails loudly
+    instead of silently flipping the boundary semantics."""
+    import os
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        p = f"/root/testdata/{sf}/events.parquet"
+        if not os.path.exists(p):
+            continue
+        n = duckdb.sql(
+            f"""SELECT count(*) FROM (
+                  SELECT epoch(ts) - lag(epoch(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) AS d
+                  FROM '{p}') WHERE d = 1800"""
+        ).fetchone()[0]
+        assert n == 0, f"{sf}: {n} exact-1800s gaps break the shared oracle"
