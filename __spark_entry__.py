@@ -185,10 +185,15 @@ def q_classify_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_uniqueness_user_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, day) is a dup-HEAVY key (~30% of rows violate), so the
+    direct one-shuffle groupBy is the right variant here — its map-side
+    partial combine does the reducing; the hashed two-phase variant
+    (default; used by the pipeline's near-unique (conv_id, turn_idx)
+    check) would broadcast a large dup-hash set."""
     ev = _t(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts")).cast("date")
     )
-    return uniqueness_violations(ev, ["user_id", "day"])
+    return uniqueness_violations(ev, ["user_id", "day"], hashed=False)
 
 
 def q_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1120,6 +1125,53 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing >= 1 word
+    3-shingle with a held-out eval split (5% of docs by key hash).
+    Eval shingle set broadcasts (tiny by construction); the corpus side
+    is exploded map-side and rolled up with ONE partial-agg'd shuffle."""
+    from cerberus_spark.operators.decontam import contamination_report
+    from cerberus_spark.operators.sample import _bucket_10k
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    bucket = _bucket_10k(F.col("doc_id"), "eval")
+    ev = docs.filter(bucket < 500)
+    train = docs.filter(bucket >= 500)
+    return contamination_report(train, "text", "doc_id", ev, shingle_k=3)
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters: duplicate-word,
+    top-word, and duplicate-2-gram permille — pure per-row array
+    arithmetic, zero shuffles (the 100 TB corpus-scan shape)."""
+    from cerberus_spark.functions.text import (
+        dup_2gram_milli,
+        dup_word_milli,
+        top_word_milli,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        dup_word_milli(t).alias("dup_word_milli"),
+        top_word_milli(t).alias("top_word_milli"),
+        dup_2gram_milli(t).alias("dup_2gram_milli"),
+    )
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixture rebalancing: deterministically downsample sources
+    toward target corpus weights (scarcest-vs-target stratum kept at
+    100%).  Per-stratum counts are an in-plan tiny aggregate joined
+    back by broadcast; membership is a pure md5-bucket filter."""
+    from cerberus_spark.operators.sample import resample_to_mixture
+
+    docs = spread(_t(spark, sf_dir, "documents")).select("doc_id", "source")
+    targets = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+    return resample_to_mixture(docs, "doc_id", "source", targets)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate covers the FIRST 50
     # entries — newest / least-driver-proven pairs go first; long-green
@@ -1127,6 +1179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
         # --- new this round ---
+        "contamination": q_contamination,
+        "doc_repetition": q_doc_repetition,
+        "mixture_resample": q_mixture_resample,
         "validate_nested": q_validate_nested,
         "sketch_quantiles": q_sketch_quantiles,
         "minhash_candidates_capped": q_minhash_candidates_capped,
@@ -2141,6 +2196,67 @@ WITH ex AS (
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS cf
 FROM ex WHERE term <> ''
 GROUP BY term HAVING count(DISTINCT doc_id) >= 25
+"""
+    eval_bucket = (
+        "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|eval'), 1, 15))::BIGINT % 10000"
+    )
+    sh_hash = _MD5_I64.format(expr="s")
+    out["contamination"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_shingles_sql(3)} AS sh,
+         {eval_bucket} AS bucket
+  FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+), ev AS (
+  SELECT DISTINCT {sh_hash} AS shh FROM sh, unnest(sh.sh) AS t(s) WHERE bucket < 500
+), tr AS (
+  SELECT doc_id, len(sh) AS n_sh, {sh_hash} AS shh
+  FROM sh, unnest(sh.sh) AS t(s) WHERE bucket >= 500
+)
+SELECT tr.doc_id, any_value(tr.n_sh)::BIGINT AS n_shingles,
+       count(ev.shh)::BIGINT AS n_contaminated,
+       CAST(floor(1000 * count(ev.shh) / any_value(tr.n_sh)) AS BIGINT) AS contam_milli
+FROM tr LEFT JOIN ev ON tr.shh = ev.shh
+GROUP BY tr.doc_id HAVING count(ev.shh) > 0
+"""
+    out["doc_repetition"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+ex AS (SELECT doc_id, s FROM w, unnest(w.w) AS t(s)),
+wc AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT s) AS nd, max(c) AS topc
+  FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id, s) AS c FROM ex)
+  GROUP BY doc_id
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n2,
+         len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS nd2
+  FROM w
+)
+SELECT wc.doc_id,
+       CAST(floor(1000 * (n - nd) / n) AS BIGINT) AS dup_word_milli,
+       CAST(floor(1000 * topc / n) AS BIGINT) AS top_word_milli,
+       CASE WHEN n2 > 0 THEN CAST(floor(1000 * (n2 - nd2) / n2) AS BIGINT) END AS dup_2gram_milli
+FROM wc JOIN g ON wc.doc_id = g.doc_id
+"""
+    mix_bucket = (
+        "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mixture'), 1, 15))::BIGINT % 10000"
+    )
+    out["mixture_resample"] = f"""
+WITH c AS (SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+t AS (
+  SELECT source, n, sum(n) OVER () AS tot,
+         CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.3
+                     WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+                     ELSE 0.0 END AS tw
+  FROM c
+), r AS (SELECT source, tw * tot / n AS ratio FROM t),
+k AS (
+  SELECT source,
+         CAST(floor(10000 * (ratio / max(ratio) OVER ()) + 0.5) AS BIGINT) AS thr
+  FROM r
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN k ON d.source = k.source
+WHERE {mix_bucket} < k.thr
 """
     out["stream_tumbling"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n_events

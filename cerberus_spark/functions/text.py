@@ -155,3 +155,70 @@ def lang_id(col: Column) -> Column:
         arm = F.when(cond, F.lit(lang))
         best = arm if best is None else best.when(cond, F.lit(lang))
     return best.otherwise(F.lit("und"))
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+# Heavily templated / boilerplate documents are the classic LLM-corpus
+# junk class; the public Gopher/RefinedWeb rules filter on the fraction
+# of repeated words and n-grams WITHIN each document.  Everything below
+# is per-row array arithmetic — zero shuffles, embarrassingly parallel,
+# the scale-right shape for a 100 TB corpus scan (the linear fold for
+# the top-word count is a higher-order function: interpreted, not
+# codegen'd, but still O(words) per row with no exchange).
+
+
+def _norm_words(col: Column) -> Column:
+    from cerberus_spark.operators.dedup import normalize_text
+
+    return F.split(normalize_text(col), " ")
+
+
+def dup_word_milli(col: Column) -> Column:
+    """Permille of word occurrences that are repeats of an earlier
+    word: 1000 * (n_words - n_distinct_words) / n_words, floored."""
+    w = _norm_words(col)
+    n = F.size(w)
+    nd = F.size(F.array_distinct(w))
+    return F.when(n > 0, F.floor(F.lit(1000) * (n - nd) / n)).cast("long")
+
+
+def top_word_milli(col: Column) -> Column:
+    """Permille of word occurrences taken by the single most frequent
+    word (a doc where one word is >20% of tokens is boilerplate).
+
+    Linear fold over the SORTED word array: equal words are adjacent,
+    so the longest run is the max frequency — no explode, no shuffle.
+    """
+    w = F.array_sort(_norm_words(col))
+    n = F.size(w)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(w, init, step, lambda acc: acc["best"])
+    return F.when(n > 0, F.floor(F.lit(1000) * best / n)).cast("long")
+
+
+def dup_2gram_milli(col: Column) -> Column:
+    """Permille of word 2-grams that are repeats (Gopher's duplicate
+    n-gram fraction, k=2): 1000 * (n_2grams - n_distinct_2grams) /
+    n_2grams, floored; NULL when the doc has fewer than 2 words."""
+    w = _norm_words(col)
+    n = F.size(w)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(n - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    n2 = n - 1
+    nd2 = F.size(F.array_distinct(grams))
+    return F.when(n2 > 0, F.floor(F.lit(1000) * (n2 - nd2) / n2)).cast("long")

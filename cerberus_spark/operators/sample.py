@@ -116,3 +116,62 @@ def hash_split(
             else expr.when(bucket < upper, F.lit(name))
         )
     return df.withColumn("split", expr.otherwise(F.lit(names[-1])))
+
+
+def resample_to_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    targets: dict[str, float],
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministically downsample strata toward target mixture
+    weights (domain rebalancing: "the trained corpus should be 30%
+    code, 50% web, 20% books"), keeping as much data as possible —
+    the stratum that is scarcest relative to its target is kept at
+    100% and every other stratum is hash-downsampled pro rata.
+
+    For stratum s with n_s of N rows and target weight t_s:
+
+        ratio_s = t_s * N / n_s          (how over-represented target-
+        keep_s  = ratio_s / max(ratio)    wise; scarcest stratum = max)
+        thr_s   = floor(10000 * keep_s + 0.5)
+
+    The per-stratum counts are a tiny in-plan aggregate joined back by
+    BROADCAST (never collected); membership is then the same pure
+    md5-bucket filter as :func:`hash_sample` — no RNG, stable across
+    engines/partitionings.  Strata absent from ``targets`` get weight
+    0 and are dropped.  Expected kept mixture approaches ``targets``
+    up to hash-bucket granularity (1/10000) and stratum exhaustion.
+    """
+    if not targets:
+        raise ValueError("targets must name at least one stratum")
+    tgt = None
+    for name, w in targets.items():
+        tgt = (
+            F.when(F.col(strata_col) == name, F.lit(float(w)))
+            if tgt is None
+            else tgt.when(F.col(strata_col) == name, F.lit(float(w)))
+        )
+    tgt = tgt.otherwise(F.lit(0.0))
+    from pyspark.sql import Window
+
+    # NB: "_N" would silently REPLACE "_n" (Spark names are
+    # case-insensitive by default), hence "_tot"
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_tot", F.sum("_n").over(Window.partitionBy()))
+        .withColumn("_ratio", tgt * F.col("_tot") / F.col("_n"))
+        .withColumn("_keep", F.col("_ratio") / F.max("_ratio").over(Window.partitionBy()))
+        .select(
+            strata_col,
+            F.floor(F.lit(10_000) * F.col("_keep") + F.lit(0.5)).alias("_thr"),
+        )
+    )
+    bucket = _bucket_10k(F.col(key_col), salt)
+    return (
+        df.join(F.broadcast(counts), strata_col)
+        .filter(bucket < F.col("_thr"))
+        .drop("_thr")
+    )

@@ -17,12 +17,15 @@ outputs:
 
 Job count matters: every Spark action pays driver-side planning +
 scheduling that does NOT parallelize — with 9 separate actions the
-Amdahl term capped measured N->4N scaling efficiency at ~0.55; with 5
-fat actions it clears the >=0.8 criterion (0.816 full-machine).  Per-step scale shape: rule eval is
-scan + codegen (shuffle-free), uniqueness shuffles |distinct keys|
-after map-side partial agg, referential is broadcast (map-side only),
-drift shuffles histogram-sized data.  Nothing collects more than
-summary rows to the driver.
+Amdahl term capped measured N->4N scaling efficiency at ~0.55; 5 fat
+actions lifted it past the >=0.8 criterion, and submitting those 5
+from a driver-side thread pool (run_full_validation) overlaps the
+remaining planning with execution — sf0.1 headline wall 4.6s -> 2.9s
+(~367k turns/s on local[32]) at zero plan change.  Per-step scale
+shape: rule eval is scan + codegen (shuffle-free), uniqueness shuffles
+|distinct keys| after map-side partial agg, referential is broadcast
+(map-side only), drift shuffles histogram-sized data.  Nothing
+collects more than summary rows to the driver.
 """
 
 from __future__ import annotations
@@ -239,7 +242,17 @@ def run_full_validation(
     sink_dir: str | None = None,
     rules: dict | None = None,
 ) -> None:
-    """Materialize every check (the benched unit of work): 5 actions.
+    """Materialize every check (the benched unit of work): 5 actions,
+    submitted from a small driver-side thread pool.
+
+    The actions are independent (the sink->summary chain stays ordered
+    inside its task), so overlapping them hides the serialized
+    driver-side planning/scheduling each one pays — the Amdahl term
+    that capped measured N->4N scaling; concurrent actions from threads
+    are a supported Spark pattern (one scheduler, shared executors) and
+    the plans are unchanged.  The self-drift histogram collect also
+    moves into its task, so its driver-side KL math overlaps the other
+    jobs instead of serializing before them.
 
     With ``sink_dir`` the violations land in a real parquet sink and
     the (field, rule) summary is derived FROM the sink — the production
@@ -247,15 +260,34 @@ def run_full_validation(
     whole rule cascade just to count it.  Without it, every output goes
     to the noop sink and the summary recomputes from source.
     """
-    outs = full_validation(spark, df, baseline, rules)
-    if sink_dir:
-        outs["all_violations"].write.mode("overwrite").parquet(f"{sink_dir}/violations")
-        sunk = spark.read.parquet(f"{sink_dir}/violations")
-        summary = sunk.groupBy("field", "rule").agg(F.count(F.lit(1)).alias("n_violations"))
-        materialize(summary)
-    else:
-        materialize(outs["all_violations"])
-        materialize(outs["rule_summary"])
-    materialize(outs["partition_summary"])
-    materialize(outs["column_stats"])
-    materialize(outs["drift"])
+    from concurrent.futures import ThreadPoolExecutor
+
+    violations = all_violations(spark, df, rules)
+    annotated = validate(df, rules or TRANSCRIPT_RULES, key_cols=KEY_COLS)
+
+    def violations_and_summary() -> None:
+        if sink_dir:
+            violations.write.mode("overwrite").parquet(f"{sink_dir}/violations")
+            sunk = spark.read.parquet(f"{sink_dir}/violations")
+            summary = sunk.groupBy("field", "rule").agg(
+                F.count(F.lit(1)).alias("n_violations")
+            )
+            materialize(summary)
+        else:
+            materialize(violations)
+            materialize(
+                violations.groupBy("field", "rule").agg(
+                    F.count(F.lit(1)).alias("n_violations")
+                )
+            )
+
+    tasks = [
+        violations_and_summary,
+        lambda: materialize(annotated.partition_summary()),
+        lambda: materialize(transcript_stats(df)),
+        lambda: materialize(drift_reports(df, baseline)),
+    ]
+    with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
+        futures = [pool.submit(t) for t in tasks]
+        for f in futures:
+            f.result()  # propagate the first failure

@@ -196,3 +196,28 @@ def test_histogram_sketch_under_overflow_clamp(spark):
         histogram_quantile("state", 0.99, 0.0, 100.0).alias("b"),
     ).collect()[0]
     assert row.a == 0.0 and row.b == 100.0
+
+
+def test_uniqueness_hashed_equals_direct(spark):
+    """The two-phase hashed uniqueness must be bit-identical to the
+    direct groupBy, including NULL keys (grouped together) and
+    separator-character strings (hash aliasing makes false CANDIDATES
+    only — phase 2 regroups on real keys)."""
+    from cerberus_spark.checks.uniqueness import uniqueness_violations
+
+    rows = [
+        ("a", 1), ("a", 1), ("a", 1),      # triple dup
+        ("a", 2), ("b", 1),                # unique
+        (None, 3), (None, 3),              # NULL key dup
+        ("x\x1fy", 9), ("x", 9),           # separator alias -> NOT a dup
+    ]
+    df = spark.createDataFrame(rows, "k string, i int")
+    direct = {
+        (r.k, r.i): r.n_dup
+        for r in uniqueness_violations(df, ["k", "i"], hashed=False).collect()
+    }
+    hashed = {
+        (r.k, r.i): r.n_dup
+        for r in uniqueness_violations(df, ["k", "i"], hashed=True).collect()
+    }
+    assert hashed == direct == {("a", 1): 3, (None, 3): 2}

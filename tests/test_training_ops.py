@@ -287,3 +287,152 @@ def test_pack_documents_default_buckets_scale_with_parallelism(spark):
     # than 64 distinct buckets must appear when the default is scaled
     if expected > 64:
         assert len(buckets) > 64
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_report_counts_shared_shingles(spark):
+    from cerberus_spark.operators.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),  # shares 'alpha beta gamma'
+            (2, "zeta eta theta iota"),     # clean
+            (3, "alpha beta gamma"),        # fully contaminated
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    rows = {r.doc_id: r for r in contamination_report(docs, "text", "doc_id", ev).collect()}
+    assert set(rows) == {1, 3}  # doc 2 (no overlap) is not emitted
+    assert rows[1].n_shingles == 2 and rows[1].n_contaminated == 1
+    assert rows[1].contam_milli == 500
+    assert rows[3].n_shingles == 1 and rows[3].contam_milli == 1000
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    from cerberus_spark.operators.decontam import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "alpha beta gamma")], "doc_id long, text string")
+    kept = sorted(r.doc_id for r in decontaminate(docs, "text", "doc_id", ev).collect())
+    assert kept == [2]
+    # threshold: doc 1 is 500 permille contaminated -> survives a 600 cap
+    kept = sorted(
+        r.doc_id
+        for r in decontaminate(
+            docs, "text", "doc_id", ev, max_contam_milli=600
+        ).collect()
+    )
+    assert kept == [1, 2]
+
+
+def test_contamination_plan_broadcasts_eval_side(spark):
+    """The corpus must never shuffle into a join against the eval set —
+    the eval shingle hashes reach it via BroadcastExchange."""
+    from cerberus_spark.operators.decontam import contamination_report
+
+    docs = spark.createDataFrame(
+        [(i, f"word{i} word{i+1} word{i+2} word{i+3}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = docs.limit(3)
+    plan = contamination_report(docs, "text", "doc_id", ev)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# repetition quality filters
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_metrics_hand_checked(spark):
+    from cerberus_spark.functions.text import (
+        dup_2gram_milli,
+        dup_word_milli,
+        top_word_milli,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat the cat"),  # 8 words, 5 distinct
+            (2, "a b c d"),                         # all unique
+            (3, "x"),                               # single word
+            (4, "spam spam spam spam"),             # degenerate
+        ],
+        "id long, text string",
+    )
+    t = F.col("text")
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            dup_word_milli(t).alias("dw"),
+            top_word_milli(t).alias("tw"),
+            dup_2gram_milli(t).alias("d2"),
+        ).collect()
+    }
+    # doc 1: dup words 3/8=375; top word 'the' 3/8=375; 2-grams 7 total,
+    # 6 distinct ('the cat' repeats) -> 142
+    assert (rows[1].dw, rows[1].tw, rows[1].d2) == (375, 375, 142)
+    assert (rows[2].dw, rows[2].tw, rows[2].d2) == (0, 250, 0)
+    assert (rows[3].dw, rows[3].tw) == (0, 1000) and rows[3].d2 is None
+    assert (rows[4].dw, rows[4].tw, rows[4].d2) == (750, 1000, 666)
+
+
+def test_repetition_metrics_are_shuffle_free(spark):
+    from cerberus_spark.functions.text import (
+        dup_2gram_milli,
+        dup_word_milli,
+        top_word_milli,
+    )
+
+    df = spark.range(100).withColumn("text", F.concat_ws(" ", F.lit("a"), F.col("id").cast("string")))
+    out = df.select(
+        dup_word_milli(F.col("text")).alias("a"),
+        top_word_milli(F.col("text")).alias("b"),
+        dup_2gram_milli(F.col("text")).alias("c"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# mixture resampling
+# ---------------------------------------------------------------------------
+
+
+def test_resample_to_mixture_converges_and_keeps_scarcest(spark):
+    from cerberus_spark.operators.sample import resample_to_mixture
+
+    rows = [
+        (i, "web" if i % 10 < 8 else ("code" if i % 10 < 9 else "books"))
+        for i in range(100_000)
+    ]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = resample_to_mixture(df, "id", "src", {"web": 0.5, "code": 0.3, "books": 0.2})
+    got = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # code is the scarcest stratum relative to target (10% actual vs 30%
+    # target) -> kept at exactly 100%
+    assert got["code"] == 10_000
+    tot = sum(got.values())
+    for name, want in {"web": 0.5, "code": 0.3, "books": 0.2}.items():
+        assert abs(got[name] / tot - want) < 0.02, got
+
+
+def test_resample_to_mixture_drops_untargeted_strata(spark):
+    from cerberus_spark.operators.sample import resample_to_mixture
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "junk") for i in range(1000)], "id long, s string"
+    )
+    out = resample_to_mixture(df, "id", "s", {"a": 1.0})
+    assert out.filter(F.col("s") == "junk").count() == 0
+    assert out.count() == 500  # scarcest (only) targeted stratum kept fully
