@@ -51,6 +51,22 @@ PROPS_REGEX = '\\{"k": [0-9]{2}\\}'  # two-digit k required; 1-digit -> violatio
 DRIFT_SPLIT = "2024-01-08 00:00:00"
 VALUE_EDGES = [0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 200.0, 400.0, 1e18]
 
+# sequence grammar over events (shared Spark <-> oracle; see
+# cerberus_spark/checks/sequence.py): purchases must follow a
+# click/view, signups never repeat back-to-back, and a session cannot
+# open with a purchase or an error.
+SEQ_STATES = ["click", "error", "purchase", "signup", "view"]
+SEQ_DISALLOWED = [
+    ("signup", "signup"),
+    ("error", "purchase"),
+    ("purchase", "purchase"),
+    ("signup", "purchase"),
+]
+SEQ_ALLOWED = sorted(
+    {(a, b) for a in SEQ_STATES for b in SEQ_STATES} - set(SEQ_DISALLOWED)
+)
+SEQ_ALLOWED_FIRST = ["click", "signup", "view"]
+
 EVENT_RULES = {
     "event_type": {"type": "string", "required": True, "allowed": ALLOWED_EVENT_TYPES},
     "value": {"type": "number", "min": VALUE_MIN, "max": VALUE_MAX},
@@ -1172,6 +1188,47 @@ def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_to_mixture(docs, "doc_id", "source", targets)
 
 
+def q_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-structure validation (transition grammar + first-state
+    + ts monotonicity) over per-user event streams: every rule
+    evaluated in ONE window pass (single shuffle keyed on user_id),
+    rule names exploded from a conditional array."""
+    from cerberus_spark.checks.sequence import sequence_violations
+
+    ev = _t(spark, sf_dir, "events")
+    out = sequence_violations(
+        ev,
+        "user_id",
+        "event_type",
+        "ts",
+        ["ts", "event_id"],
+        set(SEQ_ALLOWED),
+        set(SEQ_ALLOWED_FIRST),
+    )
+    return out.select("user_id", "event_id", "event_type", "prev_state", "rule")
+
+
+def q_lineitem_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-index density report (dense 1..n per order): one
+    partial-agg'd groupBy shuffle keyed on the conversation analog —
+    shuffle volume is |orders|, never |lineitems|."""
+    from cerberus_spark.checks.sequence import contiguity_report
+
+    li = _t(spark, sf_dir, "lineitem")
+    return contiguity_report(li, "l_orderkey", "l_linenumber", start=1)
+
+
+def q_reindex_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguity repair: dense 0..n-1 re-index per user in total
+    (ts, event_id) order — row_number over one shuffled window."""
+    from cerberus_spark.checks.sequence import reindex_turns
+
+    ev = _t(spark, sf_dir, "events")
+    return reindex_turns(ev, "user_id", ["ts", "event_id"]).select(
+        "user_id", "event_id", "turn_idx_fixed"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver's correctness gate covers the FIRST 50
     # entries — newest / least-driver-proven pairs go first; long-green
@@ -1179,6 +1236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
         # --- new this round ---
+        "sequence_violations": q_sequence_violations,
+        "lineitem_contiguity": q_lineitem_contiguity,
+        "reindex_turns": q_reindex_turns,
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         "mixture_resample": q_mixture_resample,
@@ -2257,6 +2317,43 @@ k AS (
 SELECT d.doc_id, d.source
 FROM documents d JOIN k ON d.source = k.source
 WHERE {mix_bucket} < k.thr
+"""
+    seq_allowed = ", ".join("'" + a + "\x1f" + b + "'" for a, b in SEQ_ALLOWED)
+    seq_first = ", ".join("'" + s + "'" for s in SEQ_ALLOWED_FIRST)
+    out["sequence_violations"] = f"""
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         lag(event_type) OVER w AS prev_state,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, event_type, prev_state, 'transition' AS rule
+FROM o
+WHERE prev_state IS NOT NULL
+  AND (prev_state || chr(31) || event_type) NOT IN ({seq_allowed})
+UNION ALL
+SELECT user_id, event_id, event_type, prev_state, 'ts_regression' AS rule
+FROM o WHERE ts < prev_ts
+UNION ALL
+SELECT user_id, event_id, event_type, prev_state, 'first_state' AS rule
+FROM o WHERE prev_state IS NULL AND event_type NOT IN ({seq_first})
+"""
+    out["lineitem_contiguity"] = """
+SELECT l_orderkey AS conv,
+       count(*)::BIGINT AS n_rows,
+       min(l_linenumber)::BIGINT AS min_idx,
+       max(l_linenumber)::BIGINT AS max_idx,
+       (count(*) - count(DISTINCT l_linenumber))::BIGINT AS n_dup_idx,
+       (max(l_linenumber) - 1 + 1 - count(DISTINCT l_linenumber))::BIGINT AS n_missing
+FROM lineitem
+GROUP BY l_orderkey
+"""
+    out["reindex_turns"] = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS INTEGER)
+         AS turn_idx_fixed
+FROM events
 """
     out["stream_tumbling"] = """
 SELECT date_trunc('hour', ts) AS hour, event_type, count(*)::BIGINT AS n_events

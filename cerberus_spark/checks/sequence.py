@@ -1,0 +1,183 @@
+"""Sequence-structure checks over ordered per-conversation turns.
+
+The north-rule input is a multi-turn transcript keyed by
+(conv_id, turn_idx); beyond per-row rules, its *sequence* structure
+carries invariants the reference validates implicitly through its
+ordered per-flow state machine (kernel flow tracking walks packets of
+one flow in order — internal/monitor/monitor.go:243-268 documents the
+per-flow ordered update loop):
+
+- **index contiguity** — turn_idx must be dense ``start..start+n-1``
+  per conversation (a gap means a dropped turn, a duplicate means a
+  replayed one);
+- **timestamp monotonicity** — ts must be non-decreasing in turn
+  order;
+- **role-transition grammar** — the (prev_role -> role) transition
+  must be in an allowed set (e.g. tool output only after an assistant
+  call), with an optional allowed set for the FIRST turn.
+
+Scale shape (the only thing that matters at 10^12 turns):
+
+- :func:`contiguity_report` is ONE hash-partitioned groupBy with
+  map-side partial aggregation — shuffle volume is |convs|, not
+  |turns|; no window, no sort.
+- The windowed checks (:func:`order_violations`,
+  :func:`transition_violations`, :func:`sequence_violations`) share a
+  single ``Window.partitionBy(conv).orderBy(order)`` — ONE shuffle +
+  partition-local sort, then pure row-local predicates.
+  :func:`sequence_violations` evaluates every rule in the SAME window
+  pass (conditional rule-name array -> explode), so adding rules adds
+  zero exchanges.
+
+Everything is built-in Columns — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: separator for (prev, cur) transition encoding; \x1f never appears in
+#: role vocabularies
+_SEP = "\x1f"
+
+
+def contiguity_report(
+    df: DataFrame, conv_col: str, idx_col: str, start: int = 0
+) -> DataFrame:
+    """Per-conversation index-density report:
+    (conv, n_rows, min_idx, max_idx, n_dup_idx, n_missing).
+
+    ``n_missing`` counts indexes absent from ``start..max_idx``
+    (so a conversation starting late shows its leading gap);
+    ``n_dup_idx`` counts rows beyond the first per index.  One
+    partial-agg'd shuffle keyed on the conversation.
+    """
+    return df.groupBy(F.col(conv_col).alias("conv")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min(idx_col).cast("long").alias("min_idx"),
+        F.max(idx_col).cast("long").alias("max_idx"),
+        (F.count(F.lit(1)) - F.countDistinct(idx_col)).alias("n_dup_idx"),
+        (F.max(idx_col) - F.lit(start) + 1 - F.countDistinct(idx_col))
+        .cast("long")
+        .alias("n_missing"),
+    )
+
+
+def contiguity_violations(
+    df: DataFrame, conv_col: str, idx_col: str, start: int = 0
+) -> DataFrame:
+    """Conversations whose index set is not exactly dense from
+    ``start``: any gap, duplicate, or late start."""
+    rep = contiguity_report(df, conv_col, idx_col, start)
+    return rep.filter((F.col("n_dup_idx") > 0) | (F.col("n_missing") > 0))
+
+
+def _w(conv_col: str, order_by: list[str]) -> Window:
+    return Window.partitionBy(conv_col).orderBy(*order_by)
+
+
+def order_violations(
+    df: DataFrame, conv_col: str, ts_col: str, order_by: list[str]
+) -> DataFrame:
+    """Rows whose ``ts_col`` regresses below the previous row's in
+    ``order_by`` order: input row + ``prev_ts``.  One shuffle."""
+    w = _w(conv_col, order_by)
+    return (
+        df.withColumn("prev_ts", F.lag(ts_col).over(w))
+        .filter(F.col(ts_col) < F.col("prev_ts"))
+    )
+
+
+def transition_violations(
+    df: DataFrame,
+    conv_col: str,
+    state_col: str,
+    order_by: list[str],
+    allowed: set[tuple[str, str]],
+    allowed_first: set[str] | None = None,
+) -> DataFrame:
+    """Rows whose (prev_state -> state) transition is not in
+    ``allowed`` (plus, when ``allowed_first`` is given, first rows
+    whose state is not in it): input row + ``prev_state`` + ``rule``
+    ('transition' or 'first_state').  One shuffle."""
+    w = _w(conv_col, order_by)
+    prev = F.lag(state_col).over(w)
+    trans_ok = F.concat_ws(_SEP, prev, F.col(state_col)).isin(
+        [a + _SEP + b for a, b in sorted(allowed)]
+    )
+    bad_trans = prev.isNotNull() & ~trans_ok
+    if allowed_first is not None:
+        bad_first = prev.isNull() & ~F.col(state_col).isin(sorted(allowed_first))
+    else:
+        bad_first = F.lit(False)
+    return (
+        df.withColumn("prev_state", prev)
+        .withColumn(
+            "rule",
+            F.when(bad_trans, F.lit("transition")).when(
+                bad_first, F.lit("first_state")
+            ),
+        )
+        .filter(F.col("rule").isNotNull())
+    )
+
+
+def sequence_violations(
+    df: DataFrame,
+    conv_col: str,
+    state_col: str,
+    ts_col: str,
+    order_by: list[str],
+    allowed: set[tuple[str, str]],
+    allowed_first: set[str] | None = None,
+) -> DataFrame:
+    """All sequence rules in ONE window pass: emits one row per
+    (input row, violated rule) with ``rule`` in {'transition',
+    'first_state', 'ts_regression'}.
+
+    lag(state) and lag(ts) come from the same window sort; the
+    per-row rule names are collected into a conditional array and
+    exploded, so a row violating two rules yields two output rows and
+    clean rows yield none — still exactly one exchange.
+    """
+    w = _w(conv_col, order_by)
+    # materialize both lags in one Window pass FIRST: generator
+    # expressions (explode) cannot embed window functions, and as plain
+    # attributes the rules below stay a simple projection above it
+    base = df.withColumn("prev_state", F.lag(state_col).over(w)).withColumn(
+        "_prev_ts", F.lag(ts_col).over(w)
+    )
+    prev_state, prev_ts = F.col("prev_state"), F.col("_prev_ts")
+    trans_ok = F.concat_ws(_SEP, prev_state, F.col(state_col)).isin(
+        [a + _SEP + b for a, b in sorted(allowed)]
+    )
+    checks = [
+        F.when(prev_state.isNotNull() & ~trans_ok, F.lit("transition")),
+        F.when(F.col(ts_col) < prev_ts, F.lit("ts_regression")),
+    ]
+    if allowed_first is not None:
+        checks.append(
+            F.when(
+                prev_state.isNull() & ~F.col(state_col).isin(sorted(allowed_first)),
+                F.lit("first_state"),
+            )
+        )
+    rules = F.filter(F.array(*checks), lambda x: x.isNotNull())
+    return base.withColumn("rule", F.explode(rules)).drop("_prev_ts")
+
+
+def reindex_turns(
+    df: DataFrame,
+    conv_col: str,
+    order_by: list[str],
+    new_col: str = "turn_idx_fixed",
+) -> DataFrame:
+    """Repair contiguity violations: dense re-index ``0..n-1`` per
+    conversation in ``order_by`` order (``order_by`` must be a total
+    order within a conversation or the result is nondeterministic).
+    One shuffle + partition-local sort; pairs with
+    :func:`contiguity_violations` as the fix for the convs it flags.
+    """
+    w = _w(conv_col, order_by)
+    return df.withColumn(new_col, (F.row_number().over(w) - 1).cast("int"))

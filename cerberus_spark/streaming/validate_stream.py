@@ -78,6 +78,80 @@ def stateful_turn_counts(stream_df: DataFrame, key: str = "conv_id") -> DataFram
     )
 
 
+def stateful_sequence_check(
+    stream_df: DataFrame,
+    allowed: set[tuple[str, str]],
+    allowed_first: set[str] | None = None,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    state_col: str = "role",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``checks.sequence.sequence_violations``:
+    per-conversation transition-grammar + first-state + ts-monotonicity
+    checks with the (last_state, last_ts) carried across micro-batches
+    in ``applyInPandasWithState`` — so a violation spanning a batch
+    boundary (turn 7 arrives a batch after turn 6) is still caught,
+    which a stateless per-batch window cannot do.
+
+    Rows within a batch are sorted by (idx, ts) before the walk;
+    across batches the stream is assumed append-ordered per
+    conversation (the transcript-ingest shape).  State is three scalars
+    per live conversation — bounded, checkpointable.  Emits
+    (conv, turn_idx, state, prev_state, rule) in update mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    first = sorted(allowed_first) if allowed_first is not None else None
+    allow = {a + "\x1f" + b for a, b in allowed}
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.exists:
+            prev_state, prev_ts, started = state.get
+        else:
+            prev_state, prev_ts, started = None, None, False
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        out = {"conv": [], "turn_idx": [], "state": [], "prev_state": [], "rule": []}
+        if rows:
+            batch = pd.concat(rows).sort_values([idx_col, ts_col])
+            for idx, st, ts in zip(
+                batch[idx_col], batch[state_col], batch[ts_col].astype("int64")
+            ):
+                def emit(rule):
+                    out["conv"].append(key_tuple[0])
+                    out["turn_idx"].append(int(idx))
+                    out["state"].append(st)
+                    out["prev_state"].append(prev_state)
+                    out["rule"].append(rule)
+
+                if not started:
+                    if first is not None and st not in first:
+                        emit("first_state")
+                else:
+                    # None states can never form an allowed pair (every
+                    # allowed string contains the separator) — same
+                    # outcome as the batch twin's concat_ws
+                    if (prev_state or "") + "\x1f" + (st or "") not in allow:
+                        emit("transition")
+                    if ts < prev_ts:
+                        emit("ts_regression")
+                prev_state, prev_ts, started = st, int(ts), True
+            state.update((prev_state, prev_ts, started))
+        if out["conv"]:  # NEVER yield empty frames (Arrow cast breaks)
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(conv_col).applyInPandasWithState(
+        update,
+        outputStructType=(
+            "conv string, turn_idx int, state string, prev_state string, rule string"
+        ),
+        stateStructType="prev_state string, prev_ts long, started boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession,
     src_dir: str,
