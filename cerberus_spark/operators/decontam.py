@@ -62,15 +62,22 @@ def contamination_report(
     """
     sh = word_shingles(F.col(text_col), shingle_k)
     ev = eval_shingle_set(eval_df, text_col, shingle_k).withColumn("_hit", F.lit(1))
+    # explode ONCE and recover the per-doc shingle count in the rollup:
+    # word_shingles is an interpreted higher-order expression, and a
+    # second consumer (F.size) would make CollapseProject evaluate it
+    # twice per row (measured ~2x on the corpus scan).  Shingles are
+    # distinct per doc, so count(*) per doc == size of the array.
     train = df.select(
         F.col(id_col),
-        F.size(sh).alias("n_shingles"),
         F.explode(sh).alias("_sh"),
     ).withColumn("_shh", md5_i64(F.col("_sh")))
     return (
         train.join(F.broadcast(ev), "_shh", "left")
-        .groupBy(id_col, "n_shingles")
-        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_contaminated"),
+        )
         .filter(F.col("n_contaminated") > 0)
         .withColumn(
             "contam_milli",
