@@ -109,13 +109,20 @@ def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload-content predicates on one packet (ebpf/cerberus_tc.c:
     90-122).  Oracle recomputes the same violations with DuckDB
     json_extract."""
+    from cerberus_spark.plans.barrier import evaluate_once
+
     ev = _t(spark, sf_dir, "events")
-    k = F.from_json("props", "k int").getField("k")
-    base = ev.select(
+    # parse the JSON ONCE behind a Generate barrier: from_json is
+    # CodegenFallback and the rule compiler fans the parsed struct out
+    # into many predicates — without the barrier CollapseProject
+    # inlines 24 parses per row (measured ~3x wall)
+    parsed = evaluate_once(ev, "_pj", F.from_json("props", "k int"))
+    k = F.col("_pj").getField("k")
+    base = parsed.select(
         "event_id",
         # null out the struct for purchases so the nested `required`
         # gate has a population to fire on
-        F.when(F.col("event_type") != "purchase", F.from_json("props", "k int")).alias("p"),
+        F.when(F.col("event_type") != "purchase", F.col("_pj")).alias("p"),
         F.array(k, k + F.lit(5)).alias("tags"),
         k.alias("x"),
     )

@@ -183,9 +183,11 @@ def minhash_signatures(
       functions interpreted, not codegen'd.
     - ``impl="columnar"``: pure Catalyst expressions (zero Python), for
       plans that must stay whole-JVM (e.g. inside a larger codegen'd
-      select).  A repartition barrier between the shingle-hash array
-      and the per-seed minima stops CollapseProject from inlining the
-      md5 work ``num_hashes`` times.
+      select).  A shuffle-FREE Generate barrier
+      (plans.barrier.evaluate_once) between the shingle-hash array and
+      the per-seed minima stops CollapseProject from inlining the md5
+      work ``num_hashes`` times — previously a repartition (a real
+      exchange of the whole corpus) did this job.
     """
     if impl == "arrow":
         return _minhash_signatures_arrow(df, text_col, id_col, num_hashes, shingle_k)
@@ -207,11 +209,14 @@ def minhash_signatures(
         F.array_min(F.transform(F.col("hs"), deriver(a, b))).alias(f"h{j}")
         for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    base = df.select(F.col(id_col), sh).filter(F.size("sh") > 0).select(F.col(id_col), hs)
-    # shuffle barrier: materializes hs ONCE (CollapseProject would
-    # otherwise substitute the md5-transform into all num_hashes
-    # array_min expressions, multiplying the md5 work by num_hashes)
-    barrier = base.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+    from cerberus_spark.plans.barrier import evaluate_once
+
+    base = df.select(F.col(id_col), sh).filter(F.size("sh") > 0)
+    # Generate barrier: materializes hs ONCE with no data movement
+    # (CollapseProject would otherwise substitute the md5-transform
+    # into all num_hashes array_min expressions, multiplying the md5
+    # work by num_hashes)
+    barrier = evaluate_once(base, "hs", hs).drop("sh")
     return barrier.select(F.col(id_col), F.array(*sig_cols).alias("sig"))
 
 

@@ -88,6 +88,39 @@ def test_uniqueness_hashed_shuffles_hash_then_broadcasts_dups(spark, transcripts
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_evaluate_once_barrier_defeats_collapse_project(spark):
+    """The Generate barrier must cut N inlined evaluations of an
+    expensive expression to one, with NO exchange and no row-count
+    change (NULL results included)."""
+    from cerberus_spark.plans.barrier import evaluate_once
+
+    df = spark.range(10).withColumn(
+        "js", F.concat(F.lit('{"k": '), F.col("id").cast("string"), F.lit("}"))
+    )
+    expensive = F.from_json("js", "k int")
+    naive = df.select(
+        (expensive.getField("k") + 1).alias("a"),
+        (expensive.getField("k") + 2).alias("b"),
+        (expensive.getField("k") * 3).alias("c"),
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert naive_plan.count("from_json") == 3, naive_plan  # the disease
+
+    bar = evaluate_once(df, "_p", expensive)
+    out = bar.select(
+        (F.col("_p.k") + 1).alias("a"),
+        (F.col("_p.k") + 2).alias("b"),
+        (F.col("_p.k") * 3).alias("c"),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("from_json") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert out.count() == 10
+    # a NULL expression result still yields its row
+    nulls = spark.createDataFrame([(None,)], "js string")
+    assert evaluate_once(nulls, "_p", F.from_json("js", "k int")).count() == 1
+
+
 def test_referential_is_broadcast_anti_join(spark, transcripts_parquet):
     plan = plan_of(
         referential_orphans(transcripts_parquet, "tool", tool_catalog(spark), "tool")
