@@ -20,8 +20,8 @@ scheduling that does NOT parallelize — with 9 separate actions the
 Amdahl term capped measured N->4N scaling efficiency at ~0.55; 5 fat
 actions lifted it past the >=0.8 criterion, and submitting those 5
 from a driver-side thread pool (run_full_validation) overlaps the
-remaining planning with execution — sf0.1 headline wall 4.6s -> ~3.1s
-(~344k turns/s on local[32], best-of-5) at zero plan change.  Per-step scale
+remaining planning with execution — sf0.1 headline wall 4.6s -> ~2.6s
+(~410k turns/s on local[32], best-of-5) at zero plan change.  Per-step scale
 shape: rule eval is scan + codegen (shuffle-free), uniqueness shuffles
 |distinct keys| after map-side partial agg, referential is broadcast
 (map-side only), drift shuffles histogram-sized data.  Nothing
