@@ -1226,6 +1226,31 @@ def q_lineitem_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contiguity_report(li, "l_orderkey", "l_linenumber", start=1)
 
 
+def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items summary per event_type (k=8 over
+    user_id): lower-bound counts + undercount bound err — the
+    re-aggregatable heavy-hitters state (rollup invariants are
+    pytest-proven; this pair oracle-gates the construction).  State
+    rendered as a deterministic string (lo desc, item desc)."""
+    from cerberus_spark.checks.sketches import topk_group_sketches
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.col("user_id").cast("string").alias("item_str")
+    )
+    sk = topk_group_sketches(ev, ["event_type"], "item_str", k=8)
+    return sk.select(
+        "event_type",
+        F.array_join(
+            F.transform(
+                F.col("state"),
+                lambda x: F.concat_ws(":", x.getField("item"), x.getField("lo")),
+            ),
+            ",",
+        ).alias("state_str"),
+        "err",
+    )
+
+
 def q_reindex_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contiguity repair: dense 0..n-1 re-index per user in total
     (ts, event_id) order — row_number over one shuffled window."""
@@ -1247,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
+        "topk_sketch": q_topk_sketch,
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
         "mixture_resample": q_mixture_resample,
@@ -2356,6 +2382,24 @@ SELECT l_orderkey AS conv,
        (max(l_linenumber) - 1 + 1 - count(DISTINCT l_linenumber))::BIGINT AS n_missing
 FROM lineitem
 GROUP BY l_orderkey
+"""
+    out["topk_sketch"] = """
+WITH c AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS item, count(*)::BIGINT AS lo
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY lo DESC, item) AS rn
+  FROM c
+), kept AS (
+  SELECT event_type,
+         string_agg(item || ':' || lo, ',' ORDER BY lo DESC, item DESC) AS state_str
+  FROM r WHERE rn <= 8 GROUP BY event_type
+), dropped AS (
+  SELECT event_type, lo AS err FROM r WHERE rn = 9
+)
+SELECT kept.event_type, kept.state_str,
+       coalesce(dropped.err, 0)::BIGINT AS err
+FROM kept LEFT JOIN dropped ON kept.event_type = dropped.event_type
 """
     out["reindex_turns"] = """
 SELECT user_id, event_id,

@@ -152,6 +152,107 @@ def histogram_quantile(
     )
 
 
+def topk_group_sketches(
+    df: DataFrame, key_cols: list[str], item_col: str, k: int = 16
+) -> DataFrame:
+    """Mergeable frequent-items summary per key group (the third
+    sketch next to HLL cardinality and histogram quantiles): the k
+    highest-count items with lower-bound counts, plus a single
+    undercount bound ``err``.
+
+    State: ``state: array<struct<lo:long, item:string>>`` (sorted by
+    count desc) and ``err: long``.  The invariant, preserved by
+    :func:`topk_rollup` (the mergeable-summaries truncation argument —
+    Agarwal et al., "Mergeable Summaries", PODS 2012):
+
+        for every item:  lo <= true_count <= lo + err
+        (items absent from the state have lo = 0)
+
+    At construction err is the (k+1)-th count (the max true count an
+    absent item can hide); kept counts are exact.  Any item with
+    true_count > err is guaranteed present, so heavy hitters are never
+    silently lost — the re-aggregatable top-k rollup a 100 TB
+    warehouse needs (per-partition/per-day states roll up by summing,
+    never rescanning raw data).  Cost: one (keys, item) shuffle with
+    map-side partial counts, then a |keys x k|-sized window.
+    """
+    item = F.col(item_col)
+    keys = list(key_cols)
+    src = df if keys else df.withColumn("_g", F.lit(1))
+    gk = keys or ["_g"]
+    counts = (
+        src.filter(item.isNotNull())
+        .groupBy(*gk, item.alias("item"))
+        .agg(F.count(F.lit(1)).alias("lo"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gk).orderBy(F.col("lo").desc(), F.col("item"))
+    ranked = counts.withColumn("_r", F.row_number().over(w))
+    kept = ranked.filter(F.col("_r") <= k).groupBy(*gk).agg(
+        F.reverse(F.sort_array(F.collect_list(F.struct("lo", "item")))).alias("state")
+    )
+    dropped = ranked.filter(F.col("_r") == k + 1).select(
+        *gk, F.col("lo").alias("_err")
+    )
+    out = (
+        kept.join(F.broadcast(dropped), gk, "left")
+        .withColumn("err", F.coalesce(F.col("_err"), F.lit(0).cast("long")))
+        .drop("_err")
+    )
+    return out if keys else out.drop("_g")
+
+
+def topk_rollup(
+    sketches: DataFrame, key_cols: list[str] | None = None, k: int = 16
+) -> DataFrame:
+    """Merge top-k summaries up a level WITHOUT rescanning raw data:
+    sum per-item lower bounds across children, keep the k largest,
+    and grow ``err`` by (sum of child errs) + (the (k+1)-th merged
+    count dropped at truncation).  The lo <= true <= lo + err
+    invariant is preserved: an absent item was either absent from all
+    children (true <= sum of child errs) or dropped here
+    (true <= its lo + child errs <= dropped bound + child errs)."""
+    keys = list(key_cols or [])
+    # uniform handling: a constant group key stands in for "global"
+    src = sketches if keys else sketches.withColumn("_g", F.lit(1))
+    gk = keys or ["_g"]
+    base_err = src.groupBy(*gk).agg(F.sum("err").alias("_err0"))
+    merged = (
+        src.select(*gk, F.explode("state").alias("e"))
+        .groupBy(*gk, F.col("e.item").alias("item"))
+        .agg(F.sum("e.lo").alias("lo"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gk).orderBy(F.col("lo").desc(), F.col("item"))
+    ranked = merged.withColumn("_r", F.row_number().over(w))
+    kept = ranked.filter(F.col("_r") <= k).groupBy(*gk).agg(
+        F.reverse(F.sort_array(F.collect_list(F.struct("lo", "item")))).alias("state")
+    )
+    dropped = ranked.filter(F.col("_r") == k + 1).select(
+        *gk, F.col("lo").alias("_errd")
+    )
+    out = (
+        kept.join(F.broadcast(dropped), gk, "left")
+        .join(F.broadcast(base_err), gk, "left")
+        .withColumn(
+            "err",
+            F.coalesce(F.col("_errd"), F.lit(0).cast("long"))
+            + F.coalesce(F.col("_err0"), F.lit(0).cast("long")),
+        )
+        .drop("_errd", "_err0")
+    )
+    return out if keys else out.drop("_g")
+
+
+def topk_guaranteed(state: Column | str, threshold: int) -> Column:
+    """Items whose true count PROVABLY reaches ``threshold``
+    (lo >= threshold) — pure Catalyst filter over a sketch row."""
+    s = F.col(state) if isinstance(state, str) else state
+    return F.filter(s, lambda x: x.getField("lo") >= F.lit(threshold))
+
+
 def hll_group_sketches(
     df: DataFrame, key_cols: list[str], value_col: str, lgk: int = 12
 ) -> DataFrame:

@@ -198,6 +198,73 @@ def test_histogram_sketch_under_overflow_clamp(spark):
     assert row.a == 0.0 and row.b == 100.0
 
 
+def _topk_fixture(spark):
+    """Deterministic skewed items spread over 3 days: item f{i} occurs
+    (18 - i) times total, round-robined across days."""
+    rows = []
+    for i in range(12):
+        for j in range(18 - i):
+            rows.append((f"d{j % 3}", f"f{i}"))
+    return (
+        spark.createDataFrame(rows, "day string, item string"),
+        {f"f{i}": 18 - i for i in range(12)},
+    )
+
+
+def test_topk_sketch_bounds_invariant_after_rollup(spark):
+    """Roll day sketches up to global: every item's true count must sit
+    in [lo, lo + err], and any item with true > err must be present —
+    heavy hitters can never be silently lost."""
+    from cerberus_spark.checks.sketches import topk_group_sketches, topk_rollup
+
+    df, true = _topk_fixture(spark)
+    days = topk_group_sketches(df, ["day"], "item", k=4)
+    g = topk_rollup(days, key_cols=None, k=4).collect()[0]
+    assert len(g.state) <= 4
+    lo = {e.item: e.lo for e in g.state}
+    for item, t in true.items():
+        assert lo.get(item, 0) <= t <= lo.get(item, 0) + g.err, (item, t, lo, g.err)
+    for item, t in true.items():
+        if t > g.err:
+            assert item in lo, (item, t, g.err)
+
+
+def test_topk_sketch_two_level_merge_keeps_bounds(spark):
+    from cerberus_spark.checks.sketches import topk_group_sketches, topk_rollup
+    from pyspark.sql import functions as F
+
+    df, true = _topk_fixture(spark)
+    days = topk_group_sketches(df.withColumn("half", F.col("day").isin("d0")), ["day", "half"], "item", k=4)
+    halves = topk_rollup(days, key_cols=["half"], k=4)
+    g = topk_rollup(halves, key_cols=None, k=4).collect()[0]
+    lo = {e.item: e.lo for e in g.state}
+    for item, t in true.items():
+        assert lo.get(item, 0) <= t <= lo.get(item, 0) + g.err
+
+
+def test_topk_sketch_exact_when_k_covers_domain(spark):
+    """k >= distinct items: group construction and rollup are exact
+    (err stays 0) and topk_guaranteed returns exactly the heavy set."""
+    from cerberus_spark.checks.sketches import (
+        topk_group_sketches,
+        topk_guaranteed,
+        topk_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    df, true = _topk_fixture(spark)
+    days = topk_group_sketches(df, ["day"], "item", k=32)
+    assert all(r.err == 0 for r in days.collect())
+    g = topk_rollup(days, key_cols=None, k=32)
+    row = g.collect()[0]
+    assert row.err == 0
+    assert {e.item: e.lo for e in row.state} == true
+    heavy = g.select(topk_guaranteed("state", 12).alias("h")).collect()[0].h
+    assert sorted(e.item for e in heavy) == sorted(
+        i for i, t in true.items() if t >= 12
+    )
+
+
 def test_uniqueness_hashed_equals_direct(spark):
     """The two-phase hashed uniqueness must be bit-identical to the
     direct groupBy, including NULL keys (grouped together) and
