@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rules", default=None, help="JSON file of Cerberus-style rule dicts")
     p.add_argument("--baseline", default=None, help="baseline snapshot path for drift")
     p.add_argument("--resume", default=None, help="audit log path; skip completed files")
+    p.add_argument(
+        "--sequence-checks",
+        action="store_true",
+        help="also run turn-contiguity + role-grammar + ts-monotonicity "
+        "checks (checks.sequence); violations land in <sink>/sequence",
+    )
     p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
     args = p.parse_args(argv)
 
@@ -122,6 +128,31 @@ def main(argv: list[str] | None = None) -> int:
         .write.mode("overwrite")
         .parquet(f"{args.sink}/rule_summary")
     )
+    if args.sequence_checks:
+        from cerberus_spark.checks.sequence import (
+            contiguity_violations,
+            sequence_violations,
+        )
+
+        # transcript grammar: conversations open with 'system'; every
+        # turn may hand off to any in-domain role (the per-field
+        # `allowed` rule already flags out-of-domain roles, so the
+        # grammar here only pins the opening turn and ts order — teams
+        # tighten `allowed_transitions` per corpus)
+        roles = ["system", "user", "assistant", "tool"]
+        seq = sequence_violations(
+            df,
+            "conv_id",
+            "role",
+            "ts",
+            ["turn_idx", "ts"],
+            allowed={(a, b) for a in roles for b in roles},
+            allowed_first={"system"},
+        ).select("conv_id", "turn_idx", "prev_state", "rule")
+        seq.write.mode("overwrite").parquet(f"{args.sink}/sequence")
+        contiguity_violations(df, "conv_id", "turn_idx").write.mode(
+            "overwrite"
+        ).parquet(f"{args.sink}/contiguity")
     wall = time.perf_counter() - t0
 
     if audit is not None:

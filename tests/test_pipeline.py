@@ -111,6 +111,29 @@ def test_validate_job_end_to_end_with_resume(spark, transcripts, tmp_path):
     assert not os.path.exists(str(tmp_path / "sink2"))
 
 
+def test_validate_job_sequence_checks_flag(spark, transcripts, tmp_path):
+    """--sequence-checks lands grammar/order violations in
+    <sink>/sequence and index-density violations in <sink>/contiguity;
+    the duplicated turn-1 rows injected by the generator must surface
+    as contiguity dups."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.validate_job import main
+
+    inp = str(tmp_path / "input")
+    transcripts.write.mode("overwrite").parquet(inp)
+    sink = str(tmp_path / "sink")
+
+    rc = main(["--input", inp, "--sink", sink, "--sequence-checks"])
+    assert rc == 0
+    seq = spark.read.parquet(f"{sink}/sequence")
+    # generator critic roles are outside the in-domain transition set
+    assert seq.filter(F.col("rule") == "transition").count() > 0
+    cont = spark.read.parquet(f"{sink}/contiguity")
+    assert cont.filter(F.col("n_dup_idx") > 0).count() > 0
+
+
 def test_singlepass_drift_matches_two_sided(spark, transcripts):
     """The grouping-sets single-scan drift must equal the lazy
     two-histogram drift_report path on the same median split."""
