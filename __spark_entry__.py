@@ -276,6 +276,33 @@ def q_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-time-window drift: KL/PSI of each post-split 1-day
+    window's event_type histogram against the frozen pre-split
+    baseline (the streaming drift-monitor shape — the same
+    ``windowed_categorical_histograms`` expression runs under
+    readStream; cross-validated in tests/test_checks.py).  Reference
+    analog: periodic ticker stats vs steady-state
+    (cmd/cerberus/main.go:124-150) generalized to drift."""
+    from cerberus_spark.checks.drift import (
+        windowed_categorical_histograms,
+        windowed_drift_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = categorical_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "event_type")
+    wins = windowed_categorical_histograms(
+        ev.filter(F.col("ts") >= DRIFT_SPLIT), "event_type", "ts", "1 day"
+    )
+    return windowed_drift_report(wins, base, "event_type").select(
+        "window_start",
+        "window_end",
+        "column_name",
+        F.round(F.col("kl"), 6).alias("kl"),
+        F.round(F.col("psi"), 6).alias("psi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — per-key aggregation / ordering / top-k (reference A1-A7, T1-T2)
 # ---------------------------------------------------------------------------
@@ -1269,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
         # --- new this round ---
+        "windowed_drift": q_windowed_drift,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -1388,6 +1416,27 @@ SELECT 'event_type' AS column_name,
        round(sum((cc/ct + 1e-9) * ln((cc/ct + 1e-9) / (bc/bt + 1e-9))), 6) AS kl,
        round(sum(((cc/ct + 1e-9) - (bc/bt + 1e-9)) * ln((cc/ct + 1e-9) / (bc/bt + 1e-9))), 6) AS psi
 FROM j, t
+"""
+    windowed_drift_sql = f"""
+WITH b AS (
+  SELECT event_type AS bin, count(*)::BIGINT AS bc FROM events
+  WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS ws, event_type AS bin, count(*)::BIGINT AS cc
+  FROM events WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1, 2
+), support AS (
+  SELECT w.ws, b.bin, b.bc FROM (SELECT DISTINCT ws FROM c) w CROSS JOIN b
+), j AS (
+  SELECT coalesce(s.ws, c.ws) AS ws, coalesce(s.bin, c.bin) AS bin,
+         coalesce(s.bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM support s FULL OUTER JOIN c ON s.ws = c.ws AND s.bin = c.bin
+), t AS (SELECT ws, sum(bc) AS bt, sum(cc) AS ct FROM j GROUP BY 1)
+SELECT j.ws AS window_start, j.ws + INTERVAL 1 DAY AS window_end,
+       'event_type' AS column_name,
+       round(sum((cc/bt_ct.ct + 1e-9) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS kl,
+       round(sum(((cc/bt_ct.ct + 1e-9) - (bc/bt_ct.bt + 1e-9)) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS psi
+FROM j JOIN t AS bt_ct ON j.ws = bt_ct.ws
+GROUP BY 1, 2, 3
 """
     bin_steps = " + ".join(
         f"CAST(value >= {e} AS INT)" for e in VALUE_EDGES[1:-1]
@@ -1834,6 +1883,7 @@ FROM (
 """,
         "drift_event_type": drift_cat_sql,
         "drift_value": drift_num_sql,
+        "windowed_drift": windowed_drift_sql,
         "user_profile": """
 WITH last AS (
   SELECT user_id, event_type AS last_type FROM (

@@ -4,7 +4,13 @@ stats, distribution drift, sequence structure."""
 from cerberus_spark.checks.uniqueness import uniqueness_violations, duplicate_rows
 from cerberus_spark.checks.referential import referential_orphans, referential_violations
 from cerberus_spark.checks.stats import column_profile, numeric_quantiles
-from cerberus_spark.checks.drift import categorical_histogram, numeric_histogram, drift_report
+from cerberus_spark.checks.drift import (
+    categorical_histogram,
+    numeric_histogram,
+    drift_report,
+    windowed_categorical_histograms,
+    windowed_drift_report,
+)
 from cerberus_spark.checks.sequence import (
     contiguity_report,
     contiguity_violations,
@@ -30,4 +36,6 @@ __all__ = [
     "categorical_histogram",
     "numeric_histogram",
     "drift_report",
+    "windowed_categorical_histograms",
+    "windowed_drift_report",
 ]

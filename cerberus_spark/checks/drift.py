@@ -64,6 +64,101 @@ def numeric_histogram(df: DataFrame, column: str, edges: list[float]) -> DataFra
     )
 
 
+def windowed_categorical_histograms(
+    df: DataFrame,
+    column: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """(w: struct<start,end>, bin, count) — per-event-time-window
+    category histogram.  The SAME expression is legal in batch and
+    streaming plans; pass ``watermark`` on a stream so the window
+    state is bounded (late rows beyond it are dropped)."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.coalesce(F.col(column).cast("string"), F.lit("__null__")).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def windowed_drift_report(
+    window_hists: DataFrame,
+    baseline_hist: DataFrame,
+    column_name: str = "value",
+) -> DataFrame:
+    """Per-window KL/PSI against one FROZEN baseline histogram:
+    (window_start, window_end, column_name, kl, psi).
+
+    Scale shape: NO windows x bins support expansion and NO self-join
+    on the window-hist plan (a self-join also breaks on streaming
+    memory-sink views).  A baseline bin ABSENT from a window
+    contributes a term that is independent of the window (its
+    smoothed current probability is exactly ``EPS``), so the
+    missing-bin mass is ``Σ_all_baseline_bins f(q) − Σ_present f(q)``
+    — one broadcast constant plus a per-window subtraction.  The only
+    per-row work is a left join of the per-window bins onto the
+    broadcast histogram-sized baseline; raw data is touched only by
+    the upstream histogram aggregation.
+    """
+    from pyspark.sql import Window as W
+
+    e = F.lit(EPS)
+    b = baseline_hist.groupBy("bin").agg(F.sum("count").alias("b_count"))
+    bt_row = b.agg(F.sum("b_count").alias("bt"))
+    q = F.col("b_count") / F.col("bt") + e
+    # per-baseline-bin q plus its "this bin is missing from the
+    # current window" term (p = EPS): f_kl = ε·ln(ε/q), f_psi = (ε−q)·ln(ε/q)
+    b_terms = (
+        b.crossJoin(F.broadcast(bt_row))
+        .select(
+            "bin",
+            q.alias("q"),
+            (e * F.log(e / q)).alias("kl_miss"),
+            ((e - q) * F.log(e / q)).alias("psi_miss"),
+        )
+    )
+    miss_all = b_terms.agg(
+        F.sum("kl_miss").alias("kl_miss_all"), F.sum("psi_miss").alias("psi_miss_all")
+    )
+    c = window_hists.groupBy("w", "bin").agg(F.sum("count").alias("c_count"))
+    j = c.join(F.broadcast(b_terms), on="bin", how="left").crossJoin(
+        F.broadcast(miss_all)
+    )
+    ct = F.sum("c_count").over(W.partitionBy("w"))
+    p = F.col("c_count") / ct + e
+    q2 = F.coalesce(F.col("q"), e)  # bin absent from the baseline
+    terms = j.select(
+        "w",
+        "kl_miss_all",
+        "psi_miss_all",
+        (p * F.log(p / q2)).alias("kl_term"),
+        ((p - q2) * F.log(p / q2)).alias("psi_term"),
+        F.coalesce(F.col("kl_miss"), F.lit(0.0)).alias("kl_miss"),
+        F.coalesce(F.col("psi_miss"), F.lit(0.0)).alias("psi_miss"),
+    )
+    return (
+        terms.groupBy("w", "kl_miss_all", "psi_miss_all")
+        .agg(
+            F.sum("kl_term").alias("kl_present"),
+            F.sum("psi_term").alias("psi_present"),
+            F.sum("kl_miss").alias("kl_covered"),
+            F.sum("psi_miss").alias("psi_covered"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.lit(column_name).alias("column_name"),
+            (F.col("kl_present") + F.col("kl_miss_all") - F.col("kl_covered")).alias("kl"),
+            (F.col("psi_present") + F.col("psi_miss_all") - F.col("psi_covered")).alias("psi"),
+        )
+    )
+
+
 def drift_report(
     baseline_hist: DataFrame,
     current_hist: DataFrame,

@@ -158,13 +158,18 @@ def run_stream_to_memory(
     src_schema: str,
     transform,
     query_name: str = "out",
+    output_mode: str = "append",
 ) -> DataFrame:
     """Drive a parquet-directory stream to completion synchronously
-    (memory sink) — the local smoke harness for streaming semantics."""
+    (memory sink) — the local smoke harness for streaming semantics.
+
+    ``output_mode="complete"`` for windowed aggregations replayed to
+    a final answer; ``"append"`` (default) emits only rows/windows
+    sealed by the watermark — the bounded-state production shape."""
     stream = spark.readStream.schema(src_schema).parquet(src_dir)
     out = transform(stream)
     q = (
-        out.writeStream.outputMode("append")
+        out.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -288,3 +288,109 @@ def test_uniqueness_hashed_equals_direct(spark):
         for r in uniqueness_violations(df, ["k", "i"], hashed=True).collect()
     }
     assert hashed == direct == {("a", 1): 3, (None, 3): 2}
+
+
+# ---------------------------------------------------------------------------
+# windowed drift (streaming drift-monitor shape)
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_drift_matches_per_slice(spark, transcripts):
+    """Per-window KL/PSI from windowed_drift_report must equal running
+    the plain two-histogram drift_report independently on each
+    window's slice — the windowed path is a reshape, not new math."""
+    from cerberus_spark.checks.drift import (
+        windowed_categorical_histograms,
+        windowed_drift_report,
+    )
+
+    base = categorical_histogram(transcripts, "role")
+    wins = windowed_categorical_histograms(transcripts, "role", "ts", "1 hour")
+    got = {
+        r.window_start: (r.kl, r.psi)
+        for r in windowed_drift_report(wins, base, "role").collect()
+    }
+    assert len(got) >= 5  # fixture spans ~10 hours
+    for ws, (kl, psi) in got.items():
+        sl = transcripts.filter(
+            (F.col("ts") >= F.lit(ws)) & (F.col("ts") < F.lit(ws) + F.expr("INTERVAL 1 HOUR"))
+        )
+        exp = drift_report(base, categorical_histogram(sl, "role"), "role").collect()[0]
+        assert abs(kl - exp.kl) < 1e-9 and abs(psi - exp.psi) < 1e-9
+
+
+def test_windowed_histograms_streaming_twin(spark, transcripts, tmp_path):
+    """The SAME windowed_categorical_histograms expression replayed
+    under readStream (availableNow, complete mode) must reproduce the
+    batch histograms exactly, and the drift feeding on them must too."""
+    from cerberus_spark.checks.drift import (
+        windowed_categorical_histograms,
+        windowed_drift_report,
+    )
+    from cerberus_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cerberus_spark.streaming import run_stream_to_memory
+
+    src = str(tmp_path / "wdrift_src")
+    transcripts.write.parquet(src)
+    stream_hists = run_stream_to_memory(
+        spark,
+        src,
+        TRANSCRIPT_SCHEMA,
+        lambda s: windowed_categorical_histograms(s, "role", "ts", "1 hour"),
+        query_name="whist",
+        output_mode="complete",
+    )
+    batch_hists = windowed_categorical_histograms(
+        spark.read.parquet(src), "role", "ts", "1 hour"
+    )
+    key = lambda df: {
+        (r.w.start, r.bin): r["count"] for r in df.collect()
+    }
+    assert key(stream_hists) == key(batch_hists)
+
+    base = categorical_histogram(spark.read.parquet(src), "role")
+    sd = {
+        r.window_start: (r.kl, r.psi)
+        for r in windowed_drift_report(stream_hists, base, "role").collect()
+    }
+    bd = {
+        r.window_start: (r.kl, r.psi)
+        for r in windowed_drift_report(batch_hists, base, "role").collect()
+    }
+    assert sd.keys() == bd.keys()
+    for ws in bd:  # float-sum order may differ by an ULP between plans
+        assert abs(sd[ws][0] - bd[ws][0]) < 1e-12
+        assert abs(sd[ws][1] - bd[ws][1]) < 1e-12
+
+
+def test_windowed_histograms_watermark_bounds_state(spark, transcripts, tmp_path):
+    """Append mode + watermark: only windows sealed by the final
+    watermark are emitted (bounded state — the 100 TB stream shape);
+    emitted counts are exact vs batch."""
+    from cerberus_spark.checks.drift import windowed_categorical_histograms
+    from cerberus_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cerberus_spark.streaming import run_stream_to_memory
+
+    src = str(tmp_path / "wmark_src")
+    transcripts.write.parquet(src)
+    out = run_stream_to_memory(
+        spark,
+        src,
+        TRANSCRIPT_SCHEMA,
+        lambda s: windowed_categorical_histograms(
+            s, "role", "ts", "1 hour", watermark="0 seconds"
+        ),
+        query_name="wmark",
+        output_mode="append",
+    )
+    batch = windowed_categorical_histograms(
+        spark.read.parquet(src), "role", "ts", "1 hour"
+    )
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).collect()[0][0]
+    sealed = {
+        (r.w.start, r.bin): r["count"]
+        for r in batch.collect()
+        if r.w.end <= max_ts
+    }
+    got = {(r.w.start, r.bin): r["count"] for r in out.collect()}
+    assert got == sealed and len(sealed) > 0
