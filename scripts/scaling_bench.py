@@ -83,11 +83,20 @@ def _run_level_inprocess(parallelism: int, data_path: str, runs: int = 7) -> dic
     }
 
 
+def _steal_snap() -> tuple[int, int]:
+    with open("/proc/stat") as f:
+        vals = list(map(int, f.readline().split()[1:]))
+    return vals[7], sum(vals)  # (steal jiffies, total jiffies)
+
+
 def run_level(parallelism: int, data_path: str) -> dict:
     """Run one level in a subprocess pinned to exactly ``parallelism``
     cores (taskset -c 0..p-1) so the core budget is physically
-    enforced, JVM threads / Python workers / GC included."""
+    enforced, JVM threads / Python workers / GC included.  Machine-wide
+    hypervisor steal%% over the level's lifetime is recorded so the
+    written result carries its own measurement-weather evidence."""
     cpu_list = f"0-{parallelism - 1}"
+    s0, t0 = _steal_snap()
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
          "--level", str(parallelism), data_path],
@@ -95,7 +104,10 @@ def run_level(parallelism: int, data_path: str) -> dict:
         text=True,
         check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    s1, t1 = _steal_snap()
+    level = json.loads(out.stdout.strip().splitlines()[-1])
+    level["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    return level
 
 
 def write_baseline_section(result: dict) -> None:
@@ -120,10 +132,10 @@ between runs of the identical job is 2-3x), and steal load is
 exogenous interference, not a property of the job under test.  All 7
 raw timings are recorded below for transparency.
 
-| config | input turns | best wall (s) | median (s) | all runs (s) | throughput (turns/s) |
-| --- | --- | --- | --- | --- | --- |
-| local[{lo["parallelism"]}] (N) | {lo["turns"]:,} | {lo["best_sec"]} | {lo["median_sec"]} | {lo["runs_sec"]} | {lo["turns_per_sec"]:,} |
-| local[{hi["parallelism"]}] (4N) | {hi["turns"]:,} | {hi["best_sec"]} | {hi["median_sec"]} | {hi["runs_sec"]} | {hi["turns_per_sec"]:,} |
+| config | input turns | best wall (s) | median (s) | all runs (s) | throughput (turns/s) | steal% during level |
+| --- | --- | --- | --- | --- | --- | --- |
+| local[{lo["parallelism"]}] (N) | {lo["turns"]:,} | {lo["best_sec"]} | {lo["median_sec"]} | {lo["runs_sec"]} | {lo["turns_per_sec"]:,} | {lo.get("steal_pct", "n/a")} |
+| local[{hi["parallelism"]}] (4N) | {hi["turns"]:,} | {hi["best_sec"]} | {hi["median_sec"]} | {hi["runs_sec"]} | {hi["turns_per_sec"]:,} | {hi.get("steal_pct", "n/a")} |
 
 **Scaling efficiency (throughput_4N / (4 x throughput_N)) =
 {result["efficiency"]:.3f}** (criterion: >= 0.8).
@@ -151,18 +163,29 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--level":
         print(json.dumps(_run_level_inprocess(int(sys.argv[2]), sys.argv[3])))
         return
-    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    if len(sys.argv) > 1 and sys.argv[1] == "--generate":
+        from cerberus_spark.session import get_spark
+        from cerberus_spark.sources.transcripts import generate_transcripts
 
-    from cerberus_spark.session import get_spark
-    from cerberus_spark.sources.transcripts import generate_transcripts
-
-    data_path = os.path.join(TMP, f"transcripts_{n_convs}")
-    if not os.path.exists(os.path.join(data_path, "_SUCCESS")):
-        spark = get_spark(parallelism=4 * n, app_name="scaling_gen")
+        n_convs, data_path = int(sys.argv[2]), sys.argv[3]
+        spark = get_spark(parallelism=32, app_name="scaling_gen")
         spark.sparkContext.setLogLevel("ERROR")
         generate_transcripts(spark, n_convs).write.mode("overwrite").parquet(data_path)
         spark.stop()
+        return
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    data_path = os.path.join(TMP, f"transcripts_{n_convs}")
+    if not os.path.exists(os.path.join(data_path, "_SUCCESS")):
+        # generate in a SUBPROCESS: a py4j gateway JVM started in this
+        # process would stay alive through both measured levels and
+        # leak cycles into the pinned budgets.
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--generate",
+             str(n_convs), data_path],
+            check=True,
+        )
 
     levels = [run_level(n, data_path), run_level(4 * n, data_path)]
     eff = levels[1]["turns_per_sec"] / (4 * levels[0]["turns_per_sec"])
@@ -174,7 +197,8 @@ def main() -> None:
         "recorded": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
     }
     write_baseline_section(result)
-    shutil.rmtree(TMP, ignore_errors=True)
+    if not os.environ.get("SCALING_KEEP_TMP"):
+        shutil.rmtree(TMP, ignore_errors=True)
     print(json.dumps(result))
 
 
