@@ -990,6 +990,26 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_boilerplate_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal (C4-style line dedup,
+    exercised at word granularity since the synthetic corpus has no
+    newlines): units in >= 390 distinct docs are dropped from every
+    document, order preserved.  Scale shape: one pair-shuffle for the
+    hotness count, broadcast anti-join for removal, one doc-id shuffle
+    to reassemble (operators/boilerplate.py)."""
+    from cerberus_spark.operators.boilerplate import remove_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_boilerplate(
+        docs, "text", "doc_id", min_docs=390, sep=" "
+    ).select(
+        "doc_id",
+        "clean_text",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -1297,6 +1317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "windowed_drift": q_windowed_drift,
+        "boilerplate_words": q_boilerplate_words,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -1884,6 +1905,19 @@ FROM (
         "drift_event_type": drift_cat_sql,
         "drift_value": drift_num_sql,
         "windowed_drift": windowed_drift_sql,
+        "boilerplate_words": """
+WITH u AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+units AS (SELECT doc_id, unnest(arr) AS w FROM u),
+hot AS (SELECT w FROM units WHERE w <> '' GROUP BY w HAVING count(DISTINCT doc_id) >= 390),
+hl AS (SELECT coalesce(list(w), []) AS hl FROM hot),
+cleaned AS (
+  SELECT doc_id, list_filter(arr, x -> NOT list_contains(hl, x)) AS keep, len(arr) AS n_total
+  FROM u CROSS JOIN hl
+)
+SELECT doc_id, array_to_string(keep, ' ') AS clean_text,
+       len(keep)::BIGINT AS n_kept, n_total::BIGINT AS n_total
+FROM cleaned WHERE len(keep) > 0
+""",
         "user_profile": """
 WITH last AS (
   SELECT user_id, event_type AS last_type FROM (
