@@ -1010,6 +1010,35 @@ def q_boilerplate_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub audit: deterministic pii-bearing text derived from
+    events (email/phone/cc/ip/ssn shapes), redacted via the in-order
+    regexp_replace chain with per-type counts on the progressively
+    redacted text (functions/redact.py; pure codegen, no shuffle)."""
+    from cerberus_spark.functions.redact import redact_documents
+
+    ev = _t(spark, sf_dir, "events")
+    pii = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("user u"), F.col("user_id").cast("string"),
+            F.lit("@example.com call 555-867-"),
+            F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            F.when(F.col("event_id") % 2 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+            F.lit(" ip 10.0."), (F.col("user_id") % 256).cast("string"),
+            F.lit("."), (F.col("event_id") % 256).cast("string"),
+            F.lit(" ssn 123-45-"),
+            F.lpad((F.col("user_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_documents(pii, "text")
+    return out.select(
+        "event_id",
+        "text",
+        *[F.col(c).cast("long").alias(c) for c in out.columns if c.startswith("n_")],
+    )
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -1318,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new this round ---
         "windowed_drift": q_windowed_drift,
         "boilerplate_words": q_boilerplate_words,
+        "pii_redaction": q_pii_redaction,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -1458,6 +1488,31 @@ SELECT j.ws AS window_start, j.ws + INTERVAL 1 DAY AS window_end,
        round(sum(((cc/bt_ct.ct + 1e-9) - (bc/bt_ct.bt + 1e-9)) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS psi
 FROM j JOIN t AS bt_ct ON j.ws = bt_ct.ws
 GROUP BY 1, 2, 3
+"""
+    # PII redaction: same patterns, same order, counts on the
+    # progressively-redacted text — SQL generated from PII_PATTERNS so
+    # the two engines can never drift
+    from cerberus_spark.functions.redact import PII_PATTERNS as _PII
+
+    _steps, _prev = [], "t0"
+    for _i, (_name, _pat) in enumerate(_PII, 1):
+        _steps.append(
+            f"s{_i} AS (SELECT *, len(regexp_extract_all({_prev}, '{_pat}'))::BIGINT AS n_{_name}, "
+            f"regexp_replace({_prev}, '{_pat}', '<{_name.upper()}>', 'g') AS t{_i} FROM s{_i - 1})"
+        )
+        _prev = f"t{_i}"
+    pii_sql = f"""
+WITH s0 AS (
+  SELECT event_id,
+    'user u' || CAST(user_id AS VARCHAR) || '@example.com call 555-867-' ||
+    lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0') ||
+    CASE WHEN event_id % 2 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END ||
+    ' ip 10.0.' || CAST(user_id % 256 AS VARCHAR) || '.' || CAST(event_id % 256 AS VARCHAR) ||
+    ' ssn 123-45-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0') AS t0
+  FROM events
+), {", ".join(_steps)}
+SELECT event_id, {_prev} AS text, {", ".join(f"n_{n}" for n, _ in _PII)}
+FROM s{len(_PII)}
 """
     bin_steps = " + ".join(
         f"CAST(value >= {e} AS INT)" for e in VALUE_EDGES[1:-1]
@@ -1905,6 +1960,7 @@ FROM (
         "drift_event_type": drift_cat_sql,
         "drift_value": drift_num_sql,
         "windowed_drift": windowed_drift_sql,
+        "pii_redaction": pii_sql,
         "boilerplate_words": """
 WITH u AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 units AS (SELECT doc_id, unnest(arr) AS w FROM u),
