@@ -1039,6 +1039,22 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram LM quality score: per-doc average negative
+    log likelihood under corpus word frequencies, vocab capped at the
+    top 20 words so the OOV floor path (ln(1/total)) carries data
+    (functions/text.py:unigram_logprob_scores)."""
+    from cerberus_spark.functions.text import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(docs, "text", "doc_id", vocab_size=20)
+    return out.select(
+        "doc_id",
+        F.round(F.col("unigram_nll"), 6).alias("unigram_nll"),
+        "n_tokens",
+    )
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -1348,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_drift": q_windowed_drift,
         "boilerplate_words": q_boilerplate_words,
         "pii_redaction": q_pii_redaction,
+        "unigram_nll": q_unigram_nll,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -1961,6 +1978,22 @@ FROM (
         "drift_value": drift_num_sql,
         "windowed_drift": windowed_drift_sql,
         "pii_redaction": pii_sql,
+        "unigram_nll": f"""
+WITH ww AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+), nz AS (SELECT * FROM ww WHERE w <> ''),
+c AS (SELECT w, count(*)::BIGINT AS cnt FROM nz GROUP BY 1),
+t AS (SELECT sum(cnt) AS total FROM c),
+v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w ASC LIMIT 20),
+s AS (
+  SELECT nz.doc_id,
+         CASE WHEN v.w IS NOT NULL THEN ln(v.cnt / t.total)
+              ELSE ln(1.0 / t.total) END AS logp
+  FROM nz LEFT JOIN v USING (w) CROSS JOIN t
+)
+SELECT doc_id, round(-avg(logp), 6) AS unigram_nll, count(*)::BIGINT AS n_tokens
+FROM s GROUP BY 1
+""",
         "boilerplate_words": """
 WITH u AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 units AS (SELECT doc_id, unnest(arr) AS w FROM u),

@@ -222,3 +222,47 @@ def dup_2gram_milli(col: Column) -> Column:
     n2 = n - 1
     nd2 = F.size(F.array_distinct(grams))
     return F.when(n2 > 0, F.floor(F.lit(1000) * (n2 - nd2) / n2)).cast("long")
+
+
+def unigram_logprob_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab_size: int | None = None,
+):
+    """(id, unigram_nll, n_tokens): per-document average negative log
+    likelihood under a unigram LM fit on the corpus itself — the
+    CCNet-style fluency/quality signal (low = common language, very
+    high = gibberish or rare-token soup).
+
+    Scale shape: pass 1 builds word counts (ONE shuffle with map-side
+    partial agg, reduce side is |vocab|-sized); pass 2 re-explodes the
+    corpus and BROADCAST left-joins the (optionally top-``vocab_size``)
+    frequency table — the corpus itself never shuffles to be scored;
+    the final per-doc mean partial-aggregates map-side (exploded words
+    of a doc are partition-contiguous), so the groupBy moves ~|docs|
+    rows.  Out-of-vocabulary words (only possible when ``vocab_size``
+    caps the broadcast) score at the floor ``ln(1/total)``.
+    """
+    from cerberus_spark.operators.dedup import normalize_text
+
+    words_expr = F.split(normalize_text(F.col(text_col)), " ")
+    words = df.select(
+        F.col(id_col), F.explode(words_expr).alias("_w")
+    ).filter(F.col("_w") != "")
+    counts = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_cnt"))
+    total_row = counts.agg(F.sum("_cnt").alias("_total"))
+    vocab = counts
+    if vocab_size is not None:
+        # deterministic top-V (TakeOrdered): ties broken on the word
+        vocab = counts.orderBy(F.col("_cnt").desc(), F.col("_w").asc()).limit(vocab_size)
+    scored = words.join(F.broadcast(vocab), on="_w", how="left").crossJoin(
+        F.broadcast(total_row)
+    )
+    logp = F.when(
+        F.col("_cnt").isNotNull(), F.log(F.col("_cnt") / F.col("_total"))
+    ).otherwise(F.log(F.lit(1.0) / F.col("_total")))
+    return scored.groupBy(id_col).agg(
+        (-F.avg(logp)).alias("unigram_nll"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )

@@ -124,3 +124,57 @@ def test_parse_label_sequence_malformed(spark):
         "id", parse_label_sequence(F.col("payload")).alias("name")
     ).collect()}
     assert got == {1: None, 2: None, 3: None, 4: None, 5: "abc"}
+
+
+def test_unigram_logprob_matches_python(spark):
+    """Spark NLL == a hand-rolled python unigram LM, including the OOV
+    floor when the vocab is capped."""
+    import math
+
+    from cerberus_spark.functions.text import unigram_logprob_scores
+
+    rows = [("d1", "a a b c"), ("d2", "a b b z"), ("d3", "q q a")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    words = [w for _, t in rows for w in t.split()]
+    total = len(words)
+    cnt: dict = {}
+    for w in words:
+        cnt[w] = cnt.get(w, 0) + 1
+
+    def nll(text, vocab):
+        lps = [
+            math.log(cnt[w] / total) if w in vocab else math.log(1.0 / total)
+            for w in text.split()
+        ]
+        return -sum(lps) / len(lps)
+
+    # uncapped: every word in vocab
+    got = {
+        r.doc_id: (r.unigram_nll, r.n_tokens)
+        for r in unigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    for d, t in rows:
+        assert abs(got[d][0] - nll(t, cnt)) < 1e-12
+        assert got[d][1] == len(t.split())
+
+    # capped at top-2 (by cnt desc then word asc): a(4), b(3) in; c,q,z OOV
+    top2 = {"a", "b"}
+    got2 = {
+        r.doc_id: r.unigram_nll
+        for r in unigram_logprob_scores(df, "text", "doc_id", vocab_size=2).collect()
+    }
+    for d, t in rows:
+        assert abs(got2[d] - nll(t, top2)) < 1e-12
+    assert got2["d3"] > got["d3"][0]  # OOV floor raises the score
+
+
+def test_unigram_scoring_join_is_broadcast(spark):
+    from cerberus_spark.functions.text import unigram_logprob_scores
+
+    df = spark.createDataFrame([("d1", "a b"), ("d2", "a c")], "doc_id string, text string")
+    plan = (
+        unigram_logprob_scores(df, "text", "doc_id", vocab_size=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
