@@ -1055,6 +1055,24 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-moment embedding drift: centroid cosine + L2 between the
+    even- and odd-vec_id halves of the embeddings table — one
+    dims-sized shuffle, no vector ever hits the driver
+    (checks/drift.py:embedding_drift)."""
+    from cerberus_spark.checks.drift import embedding_drift
+
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = emb.filter(F.col("vec_id") % 2 == 1)
+    return embedding_drift(base, cur).select(
+        "n_base",
+        "n_cur",
+        F.round(F.col("centroid_cosine"), 6).alias("centroid_cosine"),
+        F.round(F.col("centroid_l2"), 6).alias("centroid_l2"),
+    )
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -1365,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_words": q_boilerplate_words,
         "pii_redaction": q_pii_redaction,
         "unigram_nll": q_unigram_nll,
+        "embedding_drift": q_embedding_drift,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -1978,6 +1997,26 @@ FROM (
         "drift_value": drift_num_sql,
         "windowed_drift": windowed_drift_sql,
         "pii_redaction": pii_sql,
+        "embedding_drift": """
+WITH idx AS (
+  SELECT vec_id, embedding,
+         unnest(generate_series(1, len(embedding))) AS pos
+  FROM embeddings
+), dims AS (
+  SELECT (vec_id % 2 = 1) AS is_cur, pos, embedding[pos]::DOUBLE AS val FROM idx
+), per_dim AS (
+  SELECT pos,
+         avg(CASE WHEN is_cur THEN val END) AS c,
+         avg(CASE WHEN NOT is_cur THEN val END) AS b,
+         sum(CASE WHEN is_cur THEN 1 ELSE 0 END) AS nc,
+         sum(CASE WHEN NOT is_cur THEN 1 ELSE 0 END) AS nb
+  FROM dims GROUP BY pos
+)
+SELECT max(nb)::BIGINT AS n_base, max(nc)::BIGINT AS n_cur,
+       round(sum(c * b) / sqrt(sum(c * c)) / sqrt(sum(b * b)), 6) AS centroid_cosine,
+       round(sqrt(sum((c - b) * (c - b))), 6) AS centroid_l2
+FROM per_dim
+""",
         "unigram_nll": f"""
 WITH ww AS (
   SELECT doc_id, unnest({_WORDS}) AS w FROM documents

@@ -8,6 +8,7 @@ from cerberus_spark.checks.drift import (
     categorical_histogram,
     numeric_histogram,
     drift_report,
+    embedding_drift,
     windowed_categorical_histograms,
     windowed_drift_report,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "categorical_histogram",
     "numeric_histogram",
     "drift_report",
+    "embedding_drift",
     "windowed_categorical_histograms",
     "windowed_drift_report",
 ]

@@ -159,6 +159,49 @@ def windowed_drift_report(
     )
 
 
+def embedding_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-distribution drift: ONE row
+    (n_base, n_cur, centroid_cosine, centroid_l2) comparing the mean
+    vectors of two embedding sets (the cheap, mergeable first-moment
+    signal for "did the corpus move in embedding space").
+
+    Scale shape: posexplode to (side, dim, value) is map-side; the
+    only shuffle carries |dims| rows of partial (sum, count) state —
+    per-dimension means partial-aggregate map-side exactly like any
+    avg.  The final cosine/L2 is an aggregate over |dims| rows.
+    Never collects a vector to the driver.
+    """
+    tagged = baseline.select(
+        F.lit(False).alias("is_cur"),
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    ).unionAll(
+        current.select(
+            F.lit(True).alias("is_cur"),
+            F.posexplode(F.col(vec_col)).alias("pos", "val"),
+        )
+    )
+    per_dim = tagged.groupBy("pos").agg(
+        F.avg(F.when(F.col("is_cur"), F.col("val"))).alias("c"),
+        F.avg(F.when(~F.col("is_cur"), F.col("val"))).alias("b"),
+        F.sum(F.when(F.col("is_cur"), 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(~F.col("is_cur"), 1).otherwise(0)).alias("nb"),
+    )
+    return per_dim.agg(
+        F.max("nb").alias("n_base"),
+        F.max("nc").alias("n_cur"),
+        (
+            F.sum(F.col("c") * F.col("b"))
+            / F.sqrt(F.sum(F.col("c") * F.col("c")))
+            / F.sqrt(F.sum(F.col("b") * F.col("b")))
+        ).alias("centroid_cosine"),
+        F.sqrt(F.sum(F.pow(F.col("c") - F.col("b"), 2))).alias("centroid_l2"),
+    )
+
+
 def drift_report(
     baseline_hist: DataFrame,
     current_hist: DataFrame,

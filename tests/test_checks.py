@@ -394,3 +394,28 @@ def test_windowed_histograms_watermark_bounds_state(spark, transcripts, tmp_path
     }
     got = {(r.w.start, r.bin): r["count"] for r in out.collect()}
     assert got == sealed and len(sealed) > 0
+
+
+def test_embedding_drift_matches_python(spark):
+    """Centroid cosine/L2 vs a NumPy twin; identical halves -> cosine 1, L2 0."""
+    import numpy as np
+
+    from cerberus_spark.checks.drift import embedding_drift
+
+    rng = [[float((i * 7 + j * 3) % 11) - 5.0 for j in range(4)] for i in range(20)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng)], "vec_id int, embedding array<double>"
+    )
+    base = df.filter(F.col("vec_id") % 2 == 0)
+    cur = df.filter(F.col("vec_id") % 2 == 1)
+    row = embedding_drift(base, cur).collect()[0]
+    b = np.mean([v for i, v in enumerate(rng) if i % 2 == 0], axis=0)
+    c = np.mean([v for i, v in enumerate(rng) if i % 2 == 1], axis=0)
+    exp_cos = float(np.dot(c, b) / (np.linalg.norm(c) * np.linalg.norm(b)))
+    exp_l2 = float(np.linalg.norm(c - b))
+    assert row.n_base == 10 and row.n_cur == 10
+    assert abs(row.centroid_cosine - exp_cos) < 1e-9
+    assert abs(row.centroid_l2 - exp_l2) < 1e-9
+
+    same = embedding_drift(base, base).collect()[0]
+    assert abs(same.centroid_cosine - 1.0) < 1e-12 and same.centroid_l2 < 1e-12
