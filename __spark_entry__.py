@@ -1073,6 +1073,35 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: |z| > 3 within event_type.
+    Group moments are ONE |groups|-sized aggregate broadcast back onto
+    the scan — no window, no data shuffle
+    (checks/stats.py:outliers_zscore)."""
+    from cerberus_spark.checks.stats import outliers_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    return outliers_zscore(ev, "value", ["event_type"], threshold=3.0).select(
+        "event_id", "event_type", F.round(F.col("value"), 6).alias("value"), "zscore"
+    )
+
+
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check user_id -> event_type: keys mapping
+    to >1 distinct dependent value, with a capped deterministic sample
+    of the conflicting values
+    (checks/stats.py:functional_dependency_violations)."""
+    from cerberus_spark.checks.stats import functional_dependency_violations
+
+    ev = _t(spark, sf_dir, "events")
+    out = functional_dependency_violations(ev, ["user_id"], "event_type", max_examples=3)
+    return out.select(
+        "user_id",
+        "n_dependent",
+        F.array_join(F.col("examples"), ",").alias("examples"),
+    )
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -1384,6 +1413,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": q_pii_redaction,
         "unigram_nll": q_unigram_nll,
         "embedding_drift": q_embedding_drift,
+        "outliers_zscore": q_outliers_zscore,
+        "fd_violations": q_fd_violations,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -1997,6 +2028,21 @@ FROM (
         "drift_value": drift_num_sql,
         "windowed_drift": windowed_drift_sql,
         "pii_redaction": pii_sql,
+        "outliers_zscore": """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sig
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round((value - mu) / sig, 6) AS zscore
+FROM events JOIN s USING (event_type)
+WHERE sig > 0 AND abs(round((value - mu) / sig, 6)) > 3.0
+""",
+        "fd_violations": """
+SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_dependent,
+       array_to_string(list_slice(list_sort(list(DISTINCT event_type::VARCHAR)), 1, 3), ',') AS examples
+FROM events GROUP BY user_id HAVING count(DISTINCT event_type) > 1
+""",
         "embedding_drift": """
 WITH idx AS (
   SELECT vec_id, embedding,

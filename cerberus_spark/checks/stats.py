@@ -66,3 +66,74 @@ def numeric_quantiles(df: DataFrame, column: str, probs: list[float]) -> DataFra
     return wide.select(F.explode(F.array(*pairs)).alias("q")).select(
         F.lit(column).alias("column_name"), "q.p", "q.value"
     )
+
+
+def outliers_zscore(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 4.0,
+) -> DataFrame:
+    """Rows whose ``value_col`` deviates more than ``threshold``
+    population standard deviations from its (per-group) mean:
+    all original columns plus the rounded ``zscore``.
+
+    Scale shape: per-group mean/stddev is ONE partial-aggregated
+    groupBy whose result is |groups|-sized, broadcast back onto the
+    scan — the data itself is never shuffled or windowed (a Window
+    over the groups would re-sort the whole table for two moments).
+    Groups with zero variance flag nothing (every value is the mean).
+    Global mode (``group_cols=None``) is the same plan with a 1-row
+    broadcast.
+    """
+    gcols = group_cols or []
+    stats = (
+        df.groupBy(*gcols).agg(
+            F.avg(F.col(value_col)).alias("_mu"),
+            F.stddev_pop(F.col(value_col)).alias("_sigma"),
+        )
+    )
+    joined = (
+        df.join(F.broadcast(stats), on=gcols, how="inner")
+        if gcols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    # round BEFORE thresholding (repo determinism rule): membership of
+    # near-boundary rows must not depend on engine float-sum order
+    z = F.round((F.col(value_col) - F.col("_mu")) / F.col("_sigma"), 6)
+    return (
+        joined.filter((F.col("_sigma") > 0) & (F.abs(z) > F.lit(float(threshold))))
+        .withColumn("zscore", z)
+        .drop("_mu", "_sigma")
+    )
+
+
+def functional_dependency_violations(
+    df: DataFrame,
+    determinant_cols: list[str],
+    dependent_col: str,
+    max_examples: int = 5,
+) -> DataFrame:
+    """Keys violating the functional dependency
+    ``determinant_cols -> dependent_col``: determinant values mapping
+    to more than one distinct dependent value, with the violation
+    cardinality and a bounded, DETERMINISTIC sample of the conflicting
+    values (sorted, first ``max_examples``).
+
+    Scale shape: ONE shuffle on the determinant after a map-side
+    distinct-ish partial agg of (det, dep) pairs; reduce state per key
+    is the capped sorted example array, never the full group.
+    """
+    dep = F.col(dependent_col)
+    return (
+        df.groupBy(*determinant_cols)
+        .agg(
+            F.count_distinct(dep).alias("n_dependent"),
+            F.slice(
+                F.array_sort(F.collect_set(dep.cast("string"))),
+                1,
+                max_examples,
+            ).alias("examples"),
+        )
+        .filter(F.col("n_dependent") > 1)
+    )

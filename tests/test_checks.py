@@ -419,3 +419,68 @@ def test_embedding_drift_matches_python(spark):
 
     same = embedding_drift(base, base).collect()[0]
     assert abs(same.centroid_cosine - 1.0) < 1e-12 and same.centroid_l2 < 1e-12
+
+
+def test_outliers_zscore_matches_python(spark):
+    import statistics
+
+    from cerberus_spark.checks.stats import outliers_zscore
+
+    vals = [float(v) for v in [10, 11, 9, 10, 10, 12, 8, 10, 100]]  # 100 is the outlier
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id int, v double")
+    mu = statistics.fmean(vals)
+    sig = statistics.pstdev(vals)
+    got = {r.id: r.zscore for r in outliers_zscore(df, "v", None, threshold=2.0).collect()}
+    exp = {
+        i: round((v - mu) / sig, 6)
+        for i, v in enumerate(vals)
+        if abs(round((v - mu) / sig, 6)) > 2.0
+    }
+    assert got == exp and 8 in got
+
+
+def test_outliers_zscore_constant_group_flags_nothing(spark):
+    from cerberus_spark.checks.stats import outliers_zscore
+
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 10 + [("b", 1.0), ("b", 2.0), ("b", 30.0)],
+        "g string, v double",
+    )
+    out = outliers_zscore(df, "v", ["g"], threshold=1.3).collect()
+    assert all(r.g == "b" for r in out)  # zero-variance group 'a' silent
+
+
+def test_outliers_zscore_plan_has_no_window(spark):
+    """Moments come from a broadcast |groups|-sized aggregate — the
+    table itself is never windowed or shuffled to be scored."""
+    from cerberus_spark.checks.stats import outliers_zscore
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    plan = (
+        outliers_zscore(df, "v", ["g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_fd_violations(spark):
+    from cerberus_spark.checks.stats import functional_dependency_violations
+
+    rows = [
+        ("us", "USD"), ("us", "USD"),          # holds
+        ("ca", "CAD"), ("ca", "USD"),          # violated (2 values)
+        ("eu", "EUR"), ("eu", "CHF"), ("eu", "DKK"), ("eu", "SEK"),  # violated (4)
+    ]
+    df = spark.createDataFrame(rows, "country string, currency string")
+    out = {
+        r.country: (r.n_dependent, list(r.examples))
+        for r in functional_dependency_violations(
+            df, ["country"], "currency", max_examples=2
+        ).collect()
+    }
+    assert out == {
+        "ca": (2, ["CAD", "USD"]),
+        "eu": (4, ["CHF", "DKK"]),  # sorted, capped at 2 examples
+    }
