@@ -303,6 +303,29 @@ def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric twin of windowed_drift: per-day KL/PSI of the FROZEN-
+    edge value histogram vs the pre-split baseline
+    (checks/drift.py:windowed_numeric_histograms)."""
+    from cerberus_spark.checks.drift import (
+        windowed_drift_report,
+        windowed_numeric_histograms,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = numeric_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "value", VALUE_EDGES)
+    wins = windowed_numeric_histograms(
+        ev.filter(F.col("ts") >= DRIFT_SPLIT), "value", VALUE_EDGES, "ts", "1 day"
+    )
+    return windowed_drift_report(wins, base, "value").select(
+        "window_start",
+        "window_end",
+        "column_name",
+        F.round(F.col("kl"), 6).alias("kl"),
+        F.round(F.col("psi"), 6).alias("psi"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — per-key aggregation / ordering / top-k (reference A1-A7, T1-T2)
 # ---------------------------------------------------------------------------
@@ -1409,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "windowed_drift": q_windowed_drift,
+        "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
         "pii_redaction": q_pii_redaction,
         "unigram_nll": q_unigram_nll,
@@ -1584,6 +1608,28 @@ FROM s{len(_PII)}
     bin_steps = " + ".join(
         f"CAST(value >= {e} AS INT)" for e in VALUE_EDGES[1:-1]
     )
+    windowed_drift_value_sql = f"""
+WITH binned AS (
+  SELECT 'bin_' || CAST({bin_steps} AS VARCHAR) AS bin, ts FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT bin, count(*)::BIGINT AS bc FROM binned WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS ws, bin, count(*)::BIGINT AS cc
+  FROM binned WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1, 2
+), support AS (
+  SELECT w.ws, b.bin, b.bc FROM (SELECT DISTINCT ws FROM c) w CROSS JOIN b
+), j AS (
+  SELECT coalesce(s.ws, c.ws) AS ws, coalesce(s.bin, c.bin) AS bin,
+         coalesce(s.bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM support s FULL OUTER JOIN c ON s.ws = c.ws AND s.bin = c.bin
+), t AS (SELECT ws, sum(bc) AS bt, sum(cc) AS ct FROM j GROUP BY 1)
+SELECT j.ws AS window_start, j.ws + INTERVAL 1 DAY AS window_end,
+       'value' AS column_name,
+       round(sum((cc/bt_ct.ct + 1e-9) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS kl,
+       round(sum(((cc/bt_ct.ct + 1e-9) - (bc/bt_ct.bt + 1e-9)) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS psi
+FROM j JOIN t AS bt_ct ON j.ws = bt_ct.ws
+GROUP BY 1, 2, 3
+"""
     drift_num_sql = f"""
 WITH binned AS (
   SELECT 'bin_' || CAST({bin_steps} AS VARCHAR) AS bin, ts FROM events WHERE value IS NOT NULL
@@ -2027,6 +2073,7 @@ FROM (
         "drift_event_type": drift_cat_sql,
         "drift_value": drift_num_sql,
         "windowed_drift": windowed_drift_sql,
+        "windowed_drift_value": windowed_drift_value_sql,
         "pii_redaction": pii_sql,
         "outliers_zscore": """
 WITH s AS (

@@ -10,8 +10,10 @@ from cerberus_spark.checks.drift import (
     drift_report,
     embedding_drift,
     windowed_categorical_histograms,
+    windowed_numeric_histograms,
     windowed_drift_report,
 )
+from cerberus_spark.checks.schema_diff import assert_schema, schema_diff
 from cerberus_spark.checks.sequence import (
     contiguity_report,
     contiguity_violations,
@@ -39,5 +41,8 @@ __all__ = [
     "drift_report",
     "embedding_drift",
     "windowed_categorical_histograms",
+    "windowed_numeric_histograms",
     "windowed_drift_report",
+    "schema_diff",
+    "assert_schema",
 ]

@@ -86,6 +86,32 @@ def windowed_categorical_histograms(
     )
 
 
+def windowed_numeric_histograms(
+    df: DataFrame,
+    column: str,
+    edges: list[float],
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Numeric twin of :func:`windowed_categorical_histograms`: FROZEN
+    ``edges`` binning (same clamp semantics as
+    :func:`numeric_histogram`) per event-time window; NULLs dropped.
+    Composes with :func:`windowed_drift_report` against a
+    :func:`numeric_histogram` baseline."""
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    bin_idx = numeric_bin_expr(F.col(column), edges)
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(
+            F.window(ts_col, window_duration).alias("w"),
+            F.concat(F.lit("bin_"), bin_idx.cast("string")).alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 def windowed_drift_report(
     window_hists: DataFrame,
     baseline_hist: DataFrame,

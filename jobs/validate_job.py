@@ -57,6 +57,14 @@ def main(argv: list[str] | None = None) -> int:
         help="also run turn-contiguity + role-grammar + ts-monotonicity "
         "checks (checks.sequence); violations land in <sink>/sequence",
     )
+    p.add_argument(
+        "--expect-schema",
+        default=None,
+        help="schema contract (DDL string or path to a DDL file); the "
+        "job fails fast with exit code 2 on declared-vs-actual drift "
+        "BEFORE launching any data job (added columns tolerated, "
+        "lossless widenings tolerated)",
+    )
     p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
     args = p.parse_args(argv)
 
@@ -83,6 +91,21 @@ def main(argv: list[str] | None = None) -> int:
             rules = json.load(fh)
 
     df = spark.read.parquet(args.input)
+
+    if args.expect_schema:
+        from cerberus_spark.checks.schema_diff import assert_schema
+        from cerberus_spark.rules import SchemaError
+
+        ddl = args.expect_schema
+        if os.path.exists(ddl):
+            with open(ddl) as fh:
+                ddl = fh.read()
+        try:
+            # pure metadata check — runs before any Spark job launches
+            assert_schema(df, ddl, allow_added=True)
+        except SchemaError as exc:
+            print(json.dumps({"status": "schema_drift", "error": str(exc)}))
+            return 2
 
     audit = None
     resume_tagged = None

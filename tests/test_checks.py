@@ -484,3 +484,38 @@ def test_fd_violations(spark):
         "ca": (2, ["CAD", "USD"]),
         "eu": (4, ["CHF", "DKK"]),  # sorted, capped at 2 examples
     }
+
+
+def test_schema_diff_and_assert(spark):
+    import pytest as _pytest
+
+    from cerberus_spark.checks.schema_diff import assert_schema, schema_diff
+    from cerberus_spark.rules import SchemaError
+
+    expected = "conv_id string, turn_idx int, role string, ts timestamp"
+    ok = spark.createDataFrame([], expected)
+    assert schema_diff(ok, expected) == []
+    assert_schema(ok, expected)  # no raise
+
+    # widened turn_idx (int->bigint) tolerated by default, flagged when strict
+    widened = spark.createDataFrame([], "conv_id string, turn_idx bigint, role string, ts timestamp")
+    assert schema_diff(widened, expected) == []
+    strict = schema_diff(widened, expected, allow_widened=False)
+    assert [(f["column"], f["kind"]) for f in strict] == [("turn_idx", "type_mismatch")]
+
+    # missing + added + real mismatch, deterministic order
+    drifted = spark.createDataFrame([], "conv_id string, turn_idx string, extra double, ts timestamp")
+    got = [(f["column"], f["kind"]) for f in schema_diff(drifted, expected)]
+    assert got == [
+        ("turn_idx", "type_mismatch"),
+        ("role", "missing"),
+        ("extra", "added"),
+    ]
+    tolerant = [
+        (f["column"], f["kind"])
+        for f in schema_diff(drifted, expected, allow_added=True)
+    ]
+    assert tolerant == got[:2]  # 'added' finding suppressed
+
+    with _pytest.raises(SchemaError, match="role: missing"):
+        assert_schema(drifted, expected)

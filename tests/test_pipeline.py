@@ -167,3 +167,29 @@ def test_transcript_stats_shape(spark, transcripts):
     assert rows["role"]["approx_distinct"] >= 4   # HLL ballpark
     q = rows["text"]["text_len_q50_q95_q99"]
     assert len(q) == 3 and q[0] <= q[1] <= q[2]
+
+
+def test_validate_job_expect_schema_gate(spark, transcripts, tmp_path):
+    """--expect-schema fails fast (rc 2, no sink output) on contract
+    drift and passes through on a matching/widened contract."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.validate_job import main
+
+    inp = str(tmp_path / "input")
+    transcripts.write.mode("overwrite").parquet(inp)
+    sink = str(tmp_path / "sink")
+
+    bad = "conv_id string, turn_idx int, role int, missing_col double, ts timestamp"
+    rc = main(["--input", inp, "--sink", sink, "--expect-schema", bad])
+    assert rc == 2
+    import os as _os
+
+    assert not _os.path.exists(f"{sink}/violations")  # failed before any job
+
+    good = ("conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp")
+    rc = main(["--input", inp, "--sink", sink, "--expect-schema", good])
+    assert rc == 0
+    assert spark.read.parquet(f"{sink}/violations").count() > 0
