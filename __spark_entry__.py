@@ -1125,6 +1125,35 @@ def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot promotion gate: row-level change classification between
+    two derived versions of events (every 7th row removed, every 5th
+    value changed, every 11th re-keyed as added).  Each side reduces to
+    (key, md5 fingerprint) map-side so the full-outer join never
+    shuffles payload (checks/diff.py:table_diff); the DuckDB oracle
+    classifies by comparing the COLUMNS (IS NOT DISTINCT FROM), proving
+    the fingerprint preserves semantic row equality incl. NULLs."""
+    from cerberus_spark.checks.diff import table_diff
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.round(F.col("value"), 3)
+    old = ev.select("event_id", "event_type", v.alias("v"))
+    new = (
+        ev.filter(F.col("event_id") % 7 != 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 5 == 0, v + 1).otherwise(v).alias("v"),
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 11 == 0).select(
+                (F.col("event_id") + 10000000).alias("event_id"), "event_type", v.alias("v")
+            )
+        )
+    )
+    return table_diff(old, new, ["event_id"])
+
+
 REGEX_ALT_RULES = {"tag": {"type": "string", "regex": "click|view"}}
 
 
@@ -1439,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": q_embedding_drift,
         "outliers_zscore": q_outliers_zscore,
         "fd_violations": q_fd_violations,
+        "snapshot_diff": q_snapshot_diff,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
         "reindex_turns": q_reindex_turns,
@@ -2089,6 +2119,24 @@ WHERE sig > 0 AND abs(round((value - mu) / sig, 6)) > 3.0
 SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_dependent,
        array_to_string(list_slice(list_sort(list(DISTINCT event_type::VARCHAR)), 1, 3), ',') AS examples
 FROM events GROUP BY user_id HAVING count(DISTINCT event_type) > 1
+""",
+        "snapshot_diff": """
+WITH old AS (
+  SELECT event_id, event_type, round(value, 3) AS v FROM events
+), new AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 5 = 0 THEN round(value, 3) + 1 ELSE round(value, 3) END AS v
+  FROM events WHERE event_id % 7 <> 0
+  UNION ALL
+  SELECT event_id + 10000000, event_type, round(value, 3) FROM events WHERE event_id % 11 = 0
+)
+SELECT coalesce(o.event_id, n.event_id) AS event_id,
+       CASE WHEN o.event_id IS NULL THEN 'added'
+            WHEN n.event_id IS NULL THEN 'removed'
+            WHEN o.event_type IS NOT DISTINCT FROM n.event_type
+                 AND o.v IS NOT DISTINCT FROM n.v THEN 'unchanged'
+            ELSE 'changed' END AS change
+FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
 """,
         "embedding_drift": """
 WITH idx AS (

@@ -13,6 +13,7 @@ from cerberus_spark.checks.drift import (
     windowed_numeric_histograms,
     windowed_drift_report,
 )
+from cerberus_spark.checks.diff import diff_summary, row_fingerprint, table_diff
 from cerberus_spark.checks.schema_diff import assert_schema, schema_diff
 from cerberus_spark.checks.sequence import (
     contiguity_report,
@@ -45,4 +46,7 @@ __all__ = [
     "windowed_drift_report",
     "schema_diff",
     "assert_schema",
+    "table_diff",
+    "diff_summary",
+    "row_fingerprint",
 ]

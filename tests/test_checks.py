@@ -519,3 +519,47 @@ def test_schema_diff_and_assert(spark):
 
     with _pytest.raises(SchemaError, match="role: missing"):
         assert_schema(drifted, expected)
+
+
+def test_table_diff_all_four_classes(spark):
+    from cerberus_spark.checks.diff import diff_summary, table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "CHANGED", 3.0), (5, "e", 5.0)],
+        "k int, s string, v double",
+    )
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    # NULL == NULL is 'unchanged' (sentinel-coalesced fingerprint)
+    assert got == {1: "unchanged", 2: "unchanged", 3: "changed", 4: "removed", 5: "added"}
+    summ = {r.change: r.n for r in diff_summary(old, new, ["k"]).collect()}
+    assert summ == {"unchanged": 2, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_table_diff_column_order_insensitive(spark):
+    from cerberus_spark.checks.diff import table_diff
+
+    old = spark.createDataFrame([(1, "x", "y")], "k int, a string, b string")
+    new = spark.createDataFrame([("y", 1, "x")], "b string, k int, a string")
+    assert table_diff(old, new, ["k"]).collect()[0].change == "unchanged"
+
+
+def test_table_diff_join_carries_fingerprints_not_payload(spark):
+    """Each side reduces to (key, md5) BELOW the join: the join's
+    output schema carries only keys + fingerprints."""
+    from cerberus_spark.checks.diff import table_diff
+
+    wide = spark.createDataFrame(
+        [(1, "p" * 10, "q" * 10, 1.5)], "k int, c1 string, c2 string, c3 double"
+    )
+    plan = (
+        table_diff(wide, wide, ["k"])
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "md5" in plan
+    # payload columns appear only under the scans, never above the join
+    top = plan.split("Join")[0]
+    assert "c1" not in top and "c2" not in top
