@@ -4,7 +4,13 @@ same compiled rule set used in batch."""
 from cerberus_spark.streaming.validate_stream import (
     validate_stream,
     streaming_dedup,
+    streaming_drift_monitor,
     run_stream_to_memory,
 )
 
-__all__ = ["validate_stream", "streaming_dedup", "run_stream_to_memory"]
+__all__ = [
+    "validate_stream",
+    "streaming_dedup",
+    "streaming_drift_monitor",
+    "run_stream_to_memory",
+]

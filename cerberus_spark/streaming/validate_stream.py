@@ -177,3 +177,55 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def streaming_drift_monitor(
+    stream_df: DataFrame,
+    baseline_hist: DataFrame,
+    column: str,
+    sink_dir: str,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "1 hour",
+    checkpoint_dir: str | None = None,
+    trigger_available_now: bool = False,
+):
+    """Continuous drift monitor: per-event-time-window KL/PSI of
+    ``column`` against a FROZEN baseline histogram, appended to a
+    parquet sink as windows seal.
+
+    Why this shape is correct AND bounded: the windowed histogram runs
+    in APPEND mode under a watermark, so each window is emitted exactly
+    ONCE — complete — when the watermark passes its end; state never
+    exceeds the open windows.  ``foreachBatch`` then applies the batch
+    ``windowed_drift_report`` to exactly those sealed windows (the
+    baseline side is a tiny batch DataFrame, which is why the drift
+    math lives in foreachBatch rather than the streaming plan) and
+    appends one row per sealed window.  The reference's periodic
+    ticker stats (cmd/cerberus/main.go:124-150) generalize to exactly
+    this: stats per closed interval, emitted once.
+
+    Returns the StreamingQuery (caller awaits/stops it).
+    """
+    from cerberus_spark.checks.drift import (
+        windowed_categorical_histograms,
+        windowed_drift_report,
+    )
+
+    hists = windowed_categorical_histograms(
+        stream_df, column, ts_col, window_duration, watermark=watermark
+    )
+
+    def _emit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        windowed_drift_report(batch_df, baseline_hist, column).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    writer = hists.writeStream.outputMode("append").foreachBatch(_emit)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

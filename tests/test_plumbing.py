@@ -136,3 +136,50 @@ def test_stateful_streaming_turn_counts(spark, tmp_path):
         ).collect()
     }
     assert got == expected
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """The continuous drift monitor (append-mode sealed windows ->
+    foreachBatch drift) must equal the batch windowed_drift_report on
+    exactly the windows the watermark sealed."""
+    from cerberus_spark.checks.drift import (
+        categorical_histogram,
+        windowed_categorical_histograms,
+        windowed_drift_report,
+    )
+    from cerberus_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cerberus_spark.streaming import streaming_drift_monitor
+
+    src = str(tmp_path / "drift_src")
+    generate_transcripts(spark, 400).write.parquet(src)
+    batch = spark.read.parquet(src)
+    baseline = categorical_histogram(batch, "role")
+
+    sink = str(tmp_path / "drift_out")
+    q = streaming_drift_monitor(
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src),
+        baseline,
+        "role",
+        sink,
+        window_duration="1 hour",
+        watermark="0 seconds",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_available_now=True,
+    )
+    q.awaitTermination()
+
+    got = {
+        r.window_start: (r.kl, r.psi)
+        for r in spark.read.parquet(sink).collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    hists = windowed_categorical_histograms(batch, "role", "ts", "1 hour")
+    sealed = hists.filter(F.col("w.end") <= F.lit(max_ts))
+    exp = {
+        r.window_start: (r.kl, r.psi)
+        for r in windowed_drift_report(sealed, baseline, "role").collect()
+    }
+    assert got.keys() == exp.keys() and len(exp) >= 3
+    for w in exp:
+        assert abs(got[w][0] - exp[w][0]) < 1e-9
+        assert abs(got[w][1] - exp[w][1]) < 1e-9
