@@ -1269,6 +1269,21 @@ def q_simhash_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dup candidates via winnowing fingerprints (MOSS
+    scheme; char-gram rolling hashes -> sliding-window minima): any two
+    docs sharing a verbatim run of >= g+w-1 chars are GUARANTEED to
+    share a fingerprint.  md5 hash method here so DuckDB replays the
+    fingerprints exactly; the engine path is the poly rolling hash
+    (same winnowing, same guarantee — property-tested).  One shuffle on
+    the fingerprint, capped buckets before pair explosion."""
+    from cerberus_spark.operators.winnow import winnow_candidates, winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", g=24, w=8, method="md5")
+    return winnow_candidates(fps, "doc_id", bucket_cap=50)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         spread(_t(spark, sf_dir, "documents")), "text", "doc_id", k=3, threshold=0.4
@@ -1460,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
         # --- new this round ---
+        "winnow_candidates": q_winnow_candidates,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -1844,6 +1860,36 @@ SELECT id_a, id_b, hamming FROM (
     ON a.band_idx = b.band_idx AND a.band_bits = b.band_bits AND a.id < b.id
   GROUP BY 1, 2
 ) WHERE hamming <= 5
+"""
+    # winnowing fingerprints (g=24-char grams, w=8 windows): md5_i64 per
+    # gram, sliding-window minima (full windows only; <w grams -> single
+    # global min, mirroring _winnow_values), distinct values per doc,
+    # then the capped-bucket pair join (cap 50).
+    winnow_sql = f"""
+WITH grams AS (
+  SELECT doc_id, i,
+         {_MD5_I64.format(expr="substr(text, CAST(i AS INT), 24)")} AS h,
+         len(text) - 24 + 1 AS ng
+  FROM documents CROSS JOIN UNNEST(range(1, len(text) - 24 + 2)) AS t(i)
+  WHERE len(text) >= 24
+), wins AS (
+  SELECT doc_id, i, ng,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+  FROM grams
+), fps AS (
+  SELECT DISTINCT doc_id, m AS fp FROM wins WHERE i <= greatest(ng - 7, 1)
+), buckets AS (
+  SELECT fp, list(doc_id ORDER BY doc_id) AS ids
+  FROM fps GROUP BY fp HAVING len(list(doc_id)) BETWEEN 2 AND 50
+), pairs AS (
+  SELECT ids[CAST(a AS INT)] AS id_a, ids[CAST(b AS INT)] AS id_b
+  FROM buckets
+  CROSS JOIN UNNEST(range(1, len(ids) + 1)) AS ta(a)
+  CROSS JOIN UNNEST(range(1, len(ids) + 1)) AS tb(b)
+  WHERE a < b
+)
+SELECT id_a, id_b, count(*)::BIGINT AS n_shared_fp FROM pairs GROUP BY 1, 2
 """
     jaccard_capped_sql = f"""
 WITH docs AS (
@@ -2436,6 +2482,7 @@ SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
         "simhash": simhash_sql,
         "simhash_candidates": simhash_cand_sql,
         "simhash_candidates_capped": simhash_cand_capped_sql,
+        "winnow_candidates": winnow_sql,
         "cosine_topk": cosine_sql,
         "multimodal_features": multimodal_sql,
         "csv_dim_lookup": csv_dim_sql,

@@ -1,0 +1,110 @@
+"""Winnowing substring fingerprints: the collision guarantee, both hash
+methods, short-doc edge cases, bucket cap."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cerberus_spark.operators.winnow import (
+    _md5_gram_hashes,
+    _poly_gram_hashes,
+    _winnow_values,
+    winnow_candidates,
+    winnow_fingerprints,
+)
+
+G, W = 8, 4  # small params so tests run on short strings
+
+
+def _fps(text: str, method: str = "poly") -> set[int]:
+    fn = _poly_gram_hashes if method == "poly" else _md5_gram_hashes
+    return set(int(v) for v in _winnow_values(fn(text, G), W))
+
+
+def test_poly_hashes_match_naive():
+    text = "abcdefghij"
+    h = _poly_gram_hashes(text, 3)
+    assert len(h) == 8
+    B = np.uint64(1099511628211)
+    for i in range(8):
+        acc = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for ch in text[i : i + 3]:
+                acc = acc * B + np.uint64(ord(ch))
+        assert h[i] == acc
+
+
+def test_winnow_values_match_naive_window_minima():
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**60, size=50).astype(np.uint64)
+    got = _winnow_values(h, W)
+    want = np.unique([h[i : i + W].min() for i in range(len(h) - W + 1)])
+    assert np.array_equal(got, want)
+
+
+def test_short_inputs():
+    # shorter than one gram: nothing
+    assert _fps("abc") == set()
+    # >= g chars but fewer than w grams: single global minimum
+    h = _poly_gram_hashes("abcdefghi", G)  # 2 grams < W
+    assert len(_winnow_values(h, W)) == 1
+    assert _winnow_values(h, W)[0] == h.min()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.text(alphabet="abcdef", min_size=0, max_size=40),
+    st.text(alphabet="abcdef", min_size=0, max_size=40),
+    st.text(alphabet="ghijkl", min_size=G + W - 1, max_size=60),
+)
+def test_guarantee_shared_run_collides(pre, post, run):
+    """Any shared verbatim run of >= g+w-1 chars yields a shared
+    fingerprint value — for BOTH hash methods."""
+    a = pre + run + post
+    b = "zzzz" + run + "qqqq"
+    for method in ("poly", "md5"):
+        assert _fps(a, method) & _fps(b, method), method
+
+
+def test_disjoint_alphabets_never_collide():
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "ZXQWVKJHGFDZXQWVKJHGFDZXQWVKJHGFDZXQWVKJHGFD"
+    assert not (_fps(a) & _fps(b))
+
+
+@pytest.fixture(scope="module")
+def wdocs(spark):
+    run = "a shared verbatim run long enough to fingerprint"
+    rows = [
+        (0, "first document prefix " + run + " first suffix text here"),
+        (1, "second doc other lead " + run + " second tail words"),
+        (2, "entirely unrelated content with no overlap at all in words"),
+        (3, None),
+        (4, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.parametrize("method", ["poly", "md5"])
+def test_spark_end_to_end(wdocs, method):
+    fps = winnow_fingerprints(wdocs, "text", "doc_id", g=G, w=W, method=method)
+    pairs = winnow_candidates(fps, "doc_id").collect()
+    keys = {(r.id_a, r.id_b) for r in pairs}
+    assert (0, 1) in keys
+    assert all(2 not in k and 3 not in k and 4 not in k for k in keys)
+    # fingerprints are distinct per doc
+    pdf = fps.groupBy("doc_id", "fp").count().filter("count > 1")
+    assert pdf.count() == 0
+
+
+def test_bucket_cap_drops_degenerate_bucket(spark):
+    # 30 identical docs: every fingerprint bucket has 30 members ->
+    # cap 10 drops them all; without a cap, 435 pairs explode
+    rows = [(i, "identical boilerplate text repeated across the corpus") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, "text", "doc_id", g=G, w=W)
+    assert winnow_candidates(fps, "doc_id", bucket_cap=10).count() == 0
+    assert winnow_candidates(fps, "doc_id").count() == 30 * 29 // 2
