@@ -100,6 +100,19 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint suggestion (Deequ ConstraintSuggestion shape): profile
+    every events column in TWO passes — one single-row aggregate scan
+    (count/nulls/min/max/lengths + approx_count_distinct), then one
+    collect_set pass ONLY for string columns the HLL gate admits — and
+    emit normalized (field, rule, value) suggestions consumable by
+    compile_schema.  The reference hand-writes these tables
+    (monitor.go:83-90 allowed-port sets); we derive them from data."""
+    from cerberus_spark.checks.suggest import suggestion_rows
+
+    return suggestion_rows(spark, _t(spark, sf_dir, "events"), distinct_cap=16)
+
+
 def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested rule vocabulary over a struct derived in-query with
     from_json: `schema` (subfield rules compiled to getField
@@ -1109,6 +1122,33 @@ def q_outliers_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier flagging — the Iglewicz-Hoaglin
+    modified z within event_type.  Two broadcast-joined |groups|-sized
+    order-statistic aggregates; the table itself is never shuffled.
+    Complements outliers_zscore: a heavy tail inflates mean+stddev and
+    masks itself, median/MAD have a 50% breakdown point
+    (checks/stats.py:outliers_mad)."""
+    from cerberus_spark.checks.stats import outliers_mad
+
+    ev = _t(spark, sf_dir, "events")
+    return outliers_mad(ev, "value", ["event_type"], threshold=3.5).select(
+        "event_id", "event_type", F.round(F.col("value"), 6).alias("value"), "mad_z"
+    )
+
+
+def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square + G-statistic drift of post-split event_type
+    mix vs the pre-split baseline — the sample-size-aware frequentist
+    complement of KL/PSI (checks/drift.py:chi_square_drift)."""
+    from cerberus_spark.checks.drift import chi_square_drift
+
+    ev = _t(spark, sf_dir, "events")
+    base = categorical_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "event_type")
+    cur = categorical_histogram(ev.filter(F.col("ts") >= DRIFT_SPLIT), "event_type")
+    return chi_square_drift(base, cur, "event_type")
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check user_id -> event_type: keys mapping
     to >1 distinct dependent value, with a capped deterministic sample
@@ -1476,6 +1516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "winnow_candidates": q_winnow_candidates,
+        "rule_suggestions": q_rule_suggestions,
+        "outliers_mad": q_outliers_mad,
+        "chi2_drift": q_chi2_drift,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -1891,6 +1934,45 @@ WITH grams AS (
 )
 SELECT id_a, id_b, count(*)::BIGINT AS n_shared_fp FROM pairs GROUP BY 1, 2
 """
+    # constraint suggestion: one UNION-ALL block per (column, rule)
+    # mirroring checks/suggest.py's gating (min/max only when a non-null
+    # value exists; allowed only for string cols with 1..16 distinct;
+    # length envelope only when a non-null string exists).  Generated
+    # from one spec so the engines cannot drift.
+    def _suggest_sql() -> str:
+        cols = [("event_id", "bigint"), ("ts", "timestamp"),
+                ("user_id", "bigint"), ("event_type", "string"),
+                ("value", "double"), ("props", "string")]
+        fmt = {
+            "bigint": "CAST({a}({c}) AS VARCHAR)",
+            "double": "printf('%.6f', {a}({c}))",
+            "timestamp": "strftime({a}({c}), '%Y-%m-%d %H:%M:%S')",
+        }
+        parts = []
+        for c, t in cols:
+            parts.append(
+                f"SELECT '{c}' AS field, 'nullable' AS rule, CASE WHEN "
+                f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0 "
+                f"THEN 'true' ELSE 'false' END AS value FROM events HAVING count(*) > 0"
+            )
+            if t == "string":
+                parts.append(
+                    f"SELECT '{c}', 'allowed', string_agg(DISTINCT {c}, '|' ORDER BY {c}) "
+                    f"FROM events HAVING count(DISTINCT {c}) BETWEEN 1 AND 16"
+                )
+                for r, a in (("minlength", "min"), ("maxlength", "max")):
+                    parts.append(
+                        f"SELECT '{c}', '{r}', CAST({a}(len({c})) AS VARCHAR) "
+                        f"FROM events HAVING min(len({c})) IS NOT NULL"
+                    )
+            else:
+                for r, a in (("min", "min"), ("max", "max")):
+                    parts.append(
+                        f"SELECT '{c}', '{r}', {fmt[t].format(a=a, c=c)} "
+                        f"FROM events HAVING min({c}) IS NOT NULL"
+                    )
+        return "\nUNION ALL\n".join(parts)
+
     jaccard_capped_sql = f"""
 WITH docs AS (
   SELECT doc_id, {sh3.replace('w', f'({_WORDS})')} AS sh FROM documents
@@ -2160,6 +2242,43 @@ SELECT event_id, event_type, round(value, 6) AS value,
        round((value - mu) / sig, 6) AS zscore
 FROM events JOIN s USING (event_type)
 WHERE sig > 0 AND abs(round((value - mu) / sig, 6)) > 3.0
+""",
+        "outliers_mad": """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type, quantile_cont(abs(e.value - m), 0.5) AS d
+  FROM events e JOIN med USING (event_type) GROUP BY 1
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round(0.6745 * (value - m) / d, 6) AS mad_z
+FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
+""",
+        "chi2_drift": f"""
+WITH b AS (
+  SELECT event_type AS bin, count(*)::BIGINT AS bc FROM events
+  WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT event_type AS bin, count(*)::BIGINT AS cc FROM events
+  WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), j AS (
+  SELECT coalesce(b.bin, c.bin) AS bin, coalesce(bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM b FULL OUTER JOIN c ON b.bin = c.bin
+), t AS (
+  SELECT sum(bc) AS bt, sum(cc) AS ct,
+         sum(CASE WHEN bc > 0 THEN 1 ELSE 0 END) AS n_bins_b
+  FROM j
+)
+SELECT 'event_type' AS column_name,
+       round(sum(CASE WHEN ct * bc / bt > 0
+                 THEN (cc - ct * bc / bt) * (cc - ct * bc / bt) / (ct * bc / bt)
+                 ELSE 0 END), 6) AS chi2,
+       round(sum(CASE WHEN ct * bc / bt > 0 AND cc > 0
+                 THEN 2.0 * cc * ln(cc / (ct * bc / bt)) ELSE 0 END), 6) AS g_stat,
+       sum(CASE WHEN ct * bc / bt = 0 THEN cc ELSE 0 END)::BIGINT AS unseen_count,
+       (max(n_bins_b) - 1)::BIGINT AS dof
+FROM j, t
 """,
         "fd_violations": """
 SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_dependent,
@@ -2483,6 +2602,7 @@ SELECT fp, count(*)::BIGINT AS n_docs, min(doc_id)::BIGINT AS keep_id FROM (
         "simhash_candidates": simhash_cand_sql,
         "simhash_candidates_capped": simhash_cand_capped_sql,
         "winnow_candidates": winnow_sql,
+        "rule_suggestions": _suggest_sql(),
         "cosine_topk": cosine_sql,
         "multimodal_features": multimodal_sql,
         "csv_dim_lookup": csv_dim_sql,

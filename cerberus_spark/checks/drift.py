@@ -256,3 +256,52 @@ def drift_report(
     return terms.agg(
         F.sum("kl_term").alias("kl"), F.sum("psi_term").alias("psi")
     ).select(F.lit(column_name).alias("column_name"), "kl", "psi")
+
+
+def chi_square_drift(
+    baseline_hist: DataFrame,
+    current_hist: DataFrame,
+    column_name: str = "value",
+) -> DataFrame:
+    """Pearson chi-square goodness-of-fit of the current histogram
+    against baseline proportions, plus the G-statistic (likelihood
+    ratio, 2·n·KL in nats): the classic frequentist complements of
+    KL/PSI — chi2 grows with sample size, so it detects SMALL
+    distribution shifts on LARGE windows that a fixed PSI threshold
+    ignores.
+
+        exp_k  = n_current * baseline_k / n_baseline
+        chi2   = Σ (obs_k − exp_k)² / exp_k     over bins with exp_k > 0
+        g_stat = 2 Σ obs_k · ln(obs_k / exp_k)  over bins with obs_k > 0
+        dof    = #bins(baseline) − 1
+
+    Same scale shape as :func:`drift_report`: histograms are
+    |bins|-sized aggregates, the join is broadcast, one final 1-row agg.
+    Bins absent from the baseline contribute their full observed count
+    to chi2 via the Yates-free convention exp = EPS (reported
+    separately as ``unseen_count`` so a new category is visible even
+    when chi2 is dominated by large bins).
+    """
+    b = baseline_hist.groupBy("bin").agg(F.sum("count").alias("b_count"))
+    c = current_hist.groupBy("bin").agg(F.sum("count").alias("c_count"))
+    joined = b.join(c, on="bin", how="full_outer").fillna(0, subset=["b_count", "c_count"])
+    totals = joined.agg(
+        F.sum("b_count").alias("bt"),
+        F.sum("c_count").alias("ct"),
+        F.sum(F.when(F.col("b_count") > 0, 1).otherwise(0)).alias("n_bins_b"),
+    )
+    j = joined.crossJoin(F.broadcast(totals))
+    exp = F.col("ct") * F.col("b_count") / F.col("bt")
+    obs = F.col("c_count")
+    terms = j.select(
+        F.when(exp > 0, (obs - exp) * (obs - exp) / exp).otherwise(0.0).alias("chi2_term"),
+        F.when((exp > 0) & (obs > 0), 2.0 * obs * F.log(obs / exp)).otherwise(0.0).alias("g_term"),
+        F.when(exp == 0, obs).otherwise(F.lit(0)).alias("unseen"),
+        F.col("n_bins_b"),
+    )
+    return terms.agg(
+        F.round(F.sum("chi2_term"), 6).alias("chi2"),
+        F.round(F.sum("g_term"), 6).alias("g_stat"),
+        F.sum("unseen").alias("unseen_count"),
+        (F.max("n_bins_b") - 1).alias("dof"),
+    ).select(F.lit(column_name).alias("column_name"), "chi2", "g_stat", "unseen_count", "dof")

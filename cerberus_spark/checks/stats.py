@@ -137,3 +137,49 @@ def functional_dependency_violations(
         )
         .filter(F.col("n_dependent") > 1)
     )
+
+
+def outliers_mad(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Rows whose modified z-score ``0.6745 * (x - median) / MAD``
+    exceeds ``threshold`` in absolute value (Iglewicz-Hoaglin robust
+    outlier rule): all original columns plus the rounded ``mad_z``.
+
+    Robust counterpart of :func:`outliers_zscore` — a single extreme
+    value inflates mean AND stddev (masking itself); median/MAD have a
+    50% breakdown point.  Scale shape: exact medians are order
+    statistics, so this is TWO passes over the scan (median, then
+    median of |x - median|), each a |groups|-sized partial-agg'd
+    groupBy broadcast back — the table itself is never shuffled or
+    windowed.  At 10^12 rows swap ``percentile`` for
+    ``percentile_approx`` (mergeable sketch) at the two call sites.
+    Groups with MAD = 0 (over half the values identical) flag nothing.
+    """
+    gcols = group_cols or []
+    v = F.col(value_col)
+    med = df.groupBy(*gcols).agg(F.expr(f"percentile({value_col}, 0.5)").alias("_med"))
+
+    def _join(left: DataFrame, right: DataFrame) -> DataFrame:
+        return (
+            left.join(F.broadcast(right), on=gcols, how="inner")
+            if gcols
+            else left.crossJoin(F.broadcast(right))
+        )
+
+    mad = (
+        _join(df, med)
+        .groupBy(*gcols)
+        .agg(F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad"))
+    )
+    joined = _join(_join(df, med), mad)
+    # round BEFORE thresholding (repo determinism rule)
+    z = F.round(F.lit(0.6745) * (v - F.col("_med")) / F.col("_mad"), 6)
+    return (
+        joined.filter((F.col("_mad") > 0) & (F.abs(z) > F.lit(float(threshold))))
+        .withColumn("mad_z", z)
+        .drop("_med", "_mad")
+    )

@@ -563,3 +563,89 @@ def test_table_diff_join_carries_fingerprints_not_payload(spark):
     # payload columns appear only under the scans, never above the join
     top = plan.split("Join")[0]
     assert "c1" not in top and "c2" not in top
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers + chi-square drift
+# ---------------------------------------------------------------------------
+
+
+def test_outliers_mad_matches_numpy(spark):
+    import numpy as np
+
+    vals = [10.0, 11.0, 12.0, 10.5, 11.5, 9.5, 10.2, 11.8, 500.0, -300.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    from cerberus_spark.checks.stats import outliers_mad
+
+    got = {r.id: r.mad_z for r in outliers_mad(df, "v", threshold=3.5).collect()}
+    a = np.array(vals)
+    med = np.median(a)
+    mad = np.median(np.abs(a - med))
+    z = np.round(0.6745 * (a - med) / mad, 6)
+    want = {i: z[i] for i in range(len(vals)) if abs(z[i]) > 3.5}
+    assert got == pytest.approx(want)
+    assert set(got) == {8, 9}
+
+
+def test_outliers_mad_robust_where_zscore_masks(spark):
+    # one huge value among 8: stddev inflates so z < 4 (masked), while
+    # the MAD rule still flags it
+    vals = [10.0, 10.1, 9.9, 10.2, 9.8, 10.05, 9.95, 1000.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    from cerberus_spark.checks.stats import outliers_mad, outliers_zscore
+
+    assert outliers_zscore(df, "v", threshold=4.0).count() == 0
+    flagged = outliers_mad(df, "v", threshold=3.5).collect()
+    assert [r.id for r in flagged] == [7]
+
+
+def test_outliers_mad_zero_mad_group_silent(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 6 + [("a", 99.0)], "g string, v double"
+    )
+    from cerberus_spark.checks.stats import outliers_mad
+
+    # median=5, MAD=0 (majority identical) -> silent by contract
+    assert outliers_mad(df, "v", ["g"]).count() == 0
+
+
+def test_chi_square_drift_matches_python(spark):
+    from cerberus_spark.checks.drift import categorical_histogram, chi_square_drift
+
+    base = {"a": 50, "b": 30, "c": 20}
+    cur = {"a": 40, "b": 45, "c": 15}
+    mk = lambda cnt: spark.createDataFrame(
+        [(k,) for k, n in cnt.items() for _ in range(n)], "x string"
+    )
+    row = chi_square_drift(
+        categorical_histogram(mk(base), "x"), categorical_histogram(mk(cur), "x"), "x"
+    ).collect()[0]
+    nb, nc = sum(base.values()), sum(cur.values())
+    chi2 = sum((cur[k] - nc * base[k] / nb) ** 2 / (nc * base[k] / nb) for k in base)
+    g = 2 * sum(cur[k] * math.log(cur[k] / (nc * base[k] / nb)) for k in base)
+    assert row.chi2 == pytest.approx(round(chi2, 6))
+    assert row.g_stat == pytest.approx(round(g, 6))
+    assert row.dof == 2 and row.unseen_count == 0
+
+
+def test_chi_square_drift_unseen_category(spark):
+    from cerberus_spark.checks.drift import categorical_histogram, chi_square_drift
+
+    mk = lambda cnt: spark.createDataFrame(
+        [(k,) for k, n in cnt.items() for _ in range(n)], "x string"
+    )
+    row = chi_square_drift(
+        categorical_histogram(mk({"a": 10}), "x"),
+        categorical_histogram(mk({"a": 8, "NEW": 2}), "x"),
+    ).collect()[0]
+    assert row.unseen_count == 2
+    assert row.dof == 0
+
+
+def test_chi_square_identical_is_zero(spark):
+    from cerberus_spark.checks.drift import categorical_histogram, chi_square_drift
+
+    df = spark.createDataFrame([("a",), ("b",), ("a",)], "x string")
+    h = categorical_histogram(df, "x")
+    row = chi_square_drift(h, h).collect()[0]
+    assert row.chi2 == 0.0 and row.g_stat == 0.0
