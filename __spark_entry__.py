@@ -1149,6 +1149,38 @@ def q_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chi_square_drift(base, cur, "event_type")
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic of post-split value distribution
+    vs the pre-split baseline over the FROZEN VALUE_EDGES bins — max
+    CDF gap at bin boundaries, |bins|-sized state only
+    (checks/drift.py:ks_drift)."""
+    from cerberus_spark.checks.drift import ks_drift
+
+    ev = _t(spark, sf_dir, "events")
+    base = numeric_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "value", VALUE_EDGES)
+    cur = numeric_histogram(ev.filter(F.col("ts") >= DRIFT_SPLIT), "value", VALUE_EDGES)
+    return ks_drift(base, cur, "value")
+
+
+def q_trim_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context trimming: keep each user's most recent
+    whole events whose cumulative token count (len(props) proxy) fits
+    400 — the LLM recent-context window cut.  ONE shuffle keyed on the
+    conversation analog (operators/pack.py:trim_to_budget)."""
+    from cerberus_spark.operators.pack import trim_to_budget
+
+    ev = _t(spark, sf_dir, "events")
+    out = trim_to_budget(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        F.length(F.coalesce(F.col("props"), F.lit(""))),
+        budget=400,
+        keep="tail",
+    )
+    return out.select("user_id", "event_id", "n_tokens", "cum_tokens")
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check user_id -> event_type: keys mapping
     to >1 distinct dependent value, with a capped deterministic sample
@@ -1519,6 +1551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rule_suggestions": q_rule_suggestions,
         "outliers_mad": q_outliers_mad,
         "chi2_drift": q_chi2_drift,
+        "ks_drift": q_ks_drift,
+        "trim_budget": q_trim_budget,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -1697,6 +1731,27 @@ FROM s{len(_PII)}
     bin_steps = " + ".join(
         f"CAST(value >= {e} AS INT)" for e in VALUE_EDGES[1:-1]
     )
+    ks_drift_sql = f"""
+WITH binned AS (
+  SELECT {bin_steps} AS bin_idx, ts FROM events WHERE value IS NOT NULL
+), b AS (
+  SELECT bin_idx, count(*)::BIGINT AS bc FROM binned
+  WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT bin_idx, count(*)::BIGINT AS cc FROM binned
+  WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), j AS (
+  SELECT coalesce(b.bin_idx, c.bin_idx) AS bin_idx,
+         coalesce(bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM b FULL OUTER JOIN c ON b.bin_idx = c.bin_idx
+), t AS (SELECT sum(bc) AS bt, sum(cc) AS ct FROM j), g AS (
+  SELECT sum(bc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(cc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM j
+)
+SELECT 'value' AS column_name, round(max(abs(cum_b / bt - cum_c / ct)), 6) AS ks
+FROM g, t
+"""
     windowed_drift_value_sql = f"""
 WITH binned AS (
   SELECT 'bin_' || CAST({bin_steps} AS VARCHAR) AS bin, ts FROM events WHERE value IS NOT NULL
@@ -2254,6 +2309,17 @@ SELECT event_id, event_type, round(value, 6) AS value,
        round(0.6745 * (value - m) / d, 6) AS mad_z
 FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
+""",
+        "ks_drift": ks_drift_sql,
+        "trim_budget": """
+SELECT user_id, event_id, n_tokens, cum_tokens FROM (
+  SELECT user_id, event_id,
+         len(coalesce(props, ''))::BIGINT AS n_tokens,
+         (sum(len(coalesce(props, ''))) OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum_tokens
+  FROM events
+) WHERE cum_tokens <= 400
 """,
         "chi2_drift": f"""
 WITH b AS (

@@ -305,3 +305,40 @@ def chi_square_drift(
         F.sum("unseen").alias("unseen_count"),
         (F.max("n_bins_b") - 1).alias("dof"),
     ).select(F.lit(column_name).alias("column_name"), "chi2", "g_stat", "unseen_count", "dof")
+
+
+def ks_drift(
+    baseline_hist: DataFrame,
+    current_hist: DataFrame,
+    column_name: str = "value",
+) -> DataFrame:
+    """Binned two-sample Kolmogorov-Smirnov statistic from two
+    FROZEN-edge numeric histograms (``numeric_histogram`` bin labels
+    ``bin_<i>``): max |CDF_base − CDF_current| evaluated at the bin
+    boundaries.  A lower bound of the exact KS (within-bin shape is
+    invisible by construction) that needs only |bins|-sized state —
+    the exact statistic would require a GLOBAL sort of both tables.
+
+    The cumulative window runs over |bins| rows in one partition —
+    deliberately, it never sees data-sized input.
+    """
+    from pyspark.sql import Window
+
+    b = baseline_hist.groupBy("bin").agg(F.sum("count").alias("b_count"))
+    c = current_hist.groupBy("bin").agg(F.sum("count").alias("c_count"))
+    j = (
+        b.join(c, on="bin", how="full_outer")
+        .fillna(0, subset=["b_count", "c_count"])
+        .withColumn("bin_idx", F.split(F.col("bin"), "_").getItem(1).cast("int"))
+    )
+    totals = j.agg(F.sum("b_count").alias("bt"), F.sum("c_count").alias("ct"))
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cdf_gap = F.abs(
+        F.sum("b_count").over(w) / F.col("bt") - F.sum("c_count").over(w) / F.col("ct")
+    )
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select(cdf_gap.alias("gap"))
+        .agg(F.round(F.max("gap"), 6).alias("ks"))
+        .select(F.lit(column_name).alias("column_name"), "ks")
+    )

@@ -60,3 +60,44 @@ def pack_documents(
     return base.withColumn(
         "pack_id", F.floor(cum_excl / F.lit(budget)).cast("long")
     )
+
+
+def trim_to_budget(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    tokens_col: str | Column,
+    budget: int,
+    keep: str = "head",
+) -> DataFrame:
+    """Keep, per conversation, the longest whole-turn prefix
+    (``keep="head"``) or suffix (``keep="tail"`` — the recent-context
+    window an LLM pipeline actually feeds) whose cumulative token count
+    fits ``budget``.  Turns are never split; a single over-budget turn
+    is dropped.
+
+    Output: input columns + ``n_tokens`` + ``cum_tokens`` (cumulative
+    in the KEPT direction — for ``tail`` that counts from the last
+    turn backwards).
+
+    Scale shape: ONE shuffle keyed on ``conv_col`` (the window
+    partition); per-task state is one conversation's turns, never the
+    table.  ``order_cols`` must totally order turns within a
+    conversation (repo ordering invariant) or the boundary turn is
+    nondeterministic.
+    """
+    if keep not in ("head", "tail"):
+        raise ValueError(f"keep must be 'head' or 'tail', got {keep!r}")
+    tokens = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    order = [
+        F.col(c).asc() if keep == "head" else F.col(c).desc() for c in order_cols
+    ]
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("n_tokens", tokens.cast("long")).withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    )
+    return out.filter(F.col("cum_tokens") <= F.lit(int(budget)))

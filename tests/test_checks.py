@@ -649,3 +649,28 @@ def test_chi_square_identical_is_zero(spark):
     h = categorical_histogram(df, "x")
     row = chi_square_drift(h, h).collect()[0]
     assert row.chi2 == 0.0 and row.g_stat == 0.0
+
+
+def test_ks_drift_matches_python(spark):
+    from cerberus_spark.checks.drift import ks_drift, numeric_histogram
+
+    edges = [0.0, 1.0, 2.0, 3.0, 4.0]
+    base = spark.createDataFrame([(v,) for v in [0.5, 1.5, 1.5, 2.5, 3.5, 3.5]], "value double")
+    cur = spark.createDataFrame([(v,) for v in [0.5, 0.5, 0.5, 1.5, 2.5, 3.5]], "value double")
+    row = ks_drift(
+        numeric_histogram(base, "value", edges), numeric_histogram(cur, "value", edges)
+    ).collect()[0]
+    # CDFs at bin ends: base [1/6, 3/6, 4/6, 1], cur [3/6, 4/6, 5/6, 1]
+    assert row.ks == pytest.approx(round(2 / 6, 6))
+
+
+def test_ks_drift_identical_zero_and_disjoint_one(spark):
+    from cerberus_spark.checks.drift import ks_drift, numeric_histogram
+
+    edges = [0.0, 1.0, 2.0]
+    a = spark.createDataFrame([(0.5,), (0.6,)], "value double")
+    b = spark.createDataFrame([(1.5,), (1.7,)], "value double")
+    ha = numeric_histogram(a, "value", edges)
+    hb = numeric_histogram(b, "value", edges)
+    assert ks_drift(ha, ha).collect()[0].ks == 0.0
+    assert ks_drift(ha, hb).collect()[0].ks == 1.0

@@ -436,3 +436,53 @@ def test_resample_to_mixture_drops_untargeted_strata(spark):
     out = resample_to_mixture(df, "id", "s", {"a": 1.0})
     assert out.filter(F.col("s") == "junk").count() == 0
     assert out.count() == 500  # scarcest (only) targeted stratum kept fully
+
+
+# ---------------------------------------------------------------------------
+# trim_to_budget
+# ---------------------------------------------------------------------------
+
+TRIM_ROWS = [
+    # (conv, turn, tokens)
+    ("c1", 0, 100), ("c1", 1, 200), ("c1", 2, 150), ("c1", 3, 50),
+    ("c2", 0, 900),                      # single over-budget turn
+    ("c3", 0, 10), ("c3", 1, 10),
+]
+
+
+def _trim_df(spark):
+    return spark.createDataFrame(TRIM_ROWS, "conv string, turn int, toks int")
+
+
+def test_trim_head_longest_prefix(spark):
+    from cerberus_spark.operators.pack import trim_to_budget
+
+    out = trim_to_budget(_trim_df(spark), "conv", ["turn"], "toks", 350, keep="head")
+    got = {(r.conv, r.turn): r.cum_tokens for r in out.collect()}
+    # c1: 100, 300 fit; +150 would be 450 > 350; turn 3 can't skip the gap
+    assert got == {("c1", 0): 100, ("c1", 1): 300, ("c3", 0): 10, ("c3", 1): 20}
+
+
+def test_trim_tail_keeps_recent_turns(spark):
+    from cerberus_spark.operators.pack import trim_to_budget
+
+    out = trim_to_budget(_trim_df(spark), "conv", ["turn"], "toks", 350, keep="tail")
+    got = {(r.conv, r.turn): r.cum_tokens for r in out.collect()}
+    # c1 from the back: 50, 200, 400>350 stop -> turns 3,2 kept
+    assert got == {("c1", 3): 50, ("c1", 2): 200, ("c3", 1): 10, ("c3", 0): 20}
+
+
+def test_trim_exact_boundary_inclusive(spark):
+    from cerberus_spark.operators.pack import trim_to_budget
+
+    out = trim_to_budget(_trim_df(spark), "conv", ["turn"], "toks", 300, keep="head")
+    assert {(r.conv, r.turn) for r in out.collect() if r.conv == "c1"} == {("c1", 0), ("c1", 1)}
+
+
+def test_trim_bad_keep_raises(spark):
+    import pytest
+
+    from cerberus_spark.operators.pack import trim_to_budget
+
+    with pytest.raises(ValueError):
+        trim_to_budget(_trim_df(spark), "conv", ["turn"], "toks", 10, keep="middle")
