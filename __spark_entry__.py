@@ -1181,6 +1181,24 @@ def q_trim_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", "n_tokens", "cum_tokens")
 
 
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive-once equi-depth drift edges (checks/suggest.py:
+    suggest_bin_edges — the 'frozen edges come from the baseline
+    snapshot' step) then bin the post-split window with them: the full
+    baseline→monitor handshake exercised cross-engine."""
+    from cerberus_spark.checks.suggest import suggest_bin_edges
+
+    ev = _t(spark, sf_dir, "events")
+    edges = suggest_bin_edges(
+        ev.filter((F.col("ts") < DRIFT_SPLIT) & F.col("value").isNotNull()),
+        "value",
+        n_bins=8,
+    )
+    return numeric_histogram(
+        ev.filter(F.col("ts") >= DRIFT_SPLIT), "value", edges
+    ).select("bin", "count")
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check user_id -> event_type: keys mapping
     to >1 distinct dependent value, with a capped deterministic sample
@@ -1553,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chi2_drift": q_chi2_drift,
         "ks_drift": q_ks_drift,
         "trim_budget": q_trim_budget,
+        "equidepth_hist": q_equidepth_hist,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -2311,6 +2330,18 @@ FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
 """,
         "ks_drift": ks_drift_sql,
+        "equidepth_hist": f"""
+WITH q AS (
+  SELECT list_sort(list_distinct(list_transform(
+           quantile_cont(value, {[i / 8 for i in range(9)]}), x -> round(x, 6)))) AS e
+  FROM events WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' AND value IS NOT NULL
+)
+SELECT 'bin_' || CAST(len(list_filter(e[2:-2], t -> value >= t)) AS VARCHAR) AS bin,
+       count(*)::BIGINT AS count
+FROM events, q
+WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' AND value IS NOT NULL
+GROUP BY 1
+""",
         "trim_budget": """
 SELECT user_id, event_id, n_tokens, cum_tokens FROM (
   SELECT user_id, event_id,

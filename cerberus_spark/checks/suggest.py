@@ -152,3 +152,35 @@ def suggestion_rows(
     return spark.createDataFrame(
         rows or [], "field string, rule string, value string"
     )
+
+
+def suggest_bin_edges(
+    df: DataFrame,
+    column: str,
+    n_bins: int = 8,
+    round_digits: int = 6,
+) -> list[float]:
+    """Equi-depth bin edges for :func:`drift.numeric_histogram`: the
+    (i/n)-quantiles of ``column``, rounded then deduplicated (a heavy
+    point mass collapses its edges — fewer, still-valid bins).
+
+    This is how the FROZEN drift edges should be derived ONCE from the
+    baseline snapshot and stored next to it (SURVEY §7 "deterministic
+    drift": edges must never be re-derived per run — this function is
+    the derive-once step).  Exact ``percentile`` here; at 10^12 rows
+    use ``percentile_approx`` — edges stay frozen either way.
+
+    Returns ``n_bins + 1`` (or fewer after dedup) ascending floats.
+    """
+    probs = [i / n_bins for i in range(n_bins + 1)]
+    arr = df.agg(
+        F.expr(
+            f"percentile({column}, array({', '.join(str(p) for p in probs)}))"
+        ).alias("qs")
+    ).collect()[0]["qs"]
+    out: list[float] = []
+    for v in arr:
+        r = round(float(v), round_digits)
+        if not out or r > out[-1]:
+            out.append(r)
+    return out

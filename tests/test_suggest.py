@@ -81,3 +81,24 @@ def test_round_trip_catches_out_of_envelope(spark, fx):
     assert ("val", "max") in flat
     assert ("note", "maxlength") in flat
     assert ("ts", "max") in flat
+
+
+def test_suggest_bin_edges_equidepth(spark):
+    import numpy as np
+
+    from cerberus_spark.checks.suggest import suggest_bin_edges
+
+    vals = [float(v) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    edges = suggest_bin_edges(df, "v", n_bins=4)
+    want = [round(float(q), 6) for q in np.percentile(vals, [0, 25, 50, 75, 100])]
+    assert edges == want
+
+
+def test_suggest_bin_edges_point_mass_collapses(spark):
+    from cerberus_spark.checks.suggest import suggest_bin_edges
+
+    df = spark.createDataFrame([(1.0,)] * 50 + [(9.0,)], "v double")
+    edges = suggest_bin_edges(df, "v", n_bins=4)
+    assert edges[0] == 1.0 and edges[-1] == 9.0
+    assert edges == sorted(set(edges))  # strictly increasing after dedup
