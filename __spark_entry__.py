@@ -417,6 +417,29 @@ def q_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows: 1-hour windows every 15
+    minutes via the native window() generator — each event lands in 4
+    overlapping windows map-side (Expand), then ONE partial-agg'd
+    shuffle; the DuckDB twin replays the window arithmetic with an
+    offset UNNEST.  Batch form of the streaming sliding aggregation
+    (W1 tickers are the tumbling special case hop = length)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def q_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 as a WIDE table: per-user counts pivoted to one column per
     event type.  The pivot values are an explicit fixed list — never
@@ -1572,6 +1595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "trim_budget": q_trim_budget,
         "equidepth_hist": q_equidepth_hist,
+        "hopping_counts": q_hopping_counts,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -2505,6 +2529,12 @@ SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS run_value
 FROM events WHERE user_id < 10
+""",
+        "hopping_counts": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(15 * k AS BIGINT)) AS win_start,
+       event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
+FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2
 """,
         "tumbling_counts": """
 SELECT date_trunc('hour', ts) AS hour, event_type,
