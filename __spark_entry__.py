@@ -1222,6 +1222,24 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("bin", "count")
 
 
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big semi join via Bloom pre-filter: lineitem rows whose part
+    is in the large-size subset — non-members dropped MAP-SIDE by the
+    broadcast md5-double-hash filter before the exact join sees them;
+    false positives removed by the exact join, false negatives
+    impossible, so the result is EXACTLY the semi join the oracle
+    computes (operators/bloom.py)."""
+    from cerberus_spark.operators.bloom import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    keys = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") >= 46)
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    return bloom_semi_join(li, keys, "l_partkey", fp_rate=0.01)
+
+
 def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check user_id -> event_type: keys mapping
     to >1 distinct dependent value, with a capped deterministic sample
@@ -1596,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trim_budget": q_trim_budget,
         "equidepth_hist": q_equidepth_hist,
         "hopping_counts": q_hopping_counts,
+        "bloom_semi_join": q_bloom_semi_join,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -2529,6 +2548,10 @@ SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING), 2) AS run_value
 FROM events WHERE user_id < 10
+""",
+        "bloom_semi_join": """
+SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 46)
 """,
         "hopping_counts": """
 SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(15 * k AS BIGINT)) AS win_start,
