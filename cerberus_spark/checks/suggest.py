@@ -184,3 +184,20 @@ def suggest_bin_edges(
         if not out or r > out[-1]:
             out.append(r)
     return out
+
+
+def suggest_ruleset_json(
+    df: DataFrame,
+    fields: list[str] | None = None,
+    distinct_cap: int = 16,
+) -> dict[str, dict[str, Any]]:
+    """JSON-serializable variant of :func:`suggest_ruleset` for the
+    ``--suggest-rules`` job bootstrap: timestamp bounds rendered as
+    ``YYYY-MM-DD HH:MM:SS`` strings (Spark coerces the string literal
+    back to timestamp when the rule compiles), numerics kept native."""
+    rs = suggest_ruleset(df, fields, distinct_cap)
+    for fr in rs.values():
+        for k in ("min", "max"):
+            if isinstance(fr.get(k), (_dt.datetime, _dt.date)):
+                fr[k] = _fmt(fr[k])
+    return rs

@@ -65,6 +65,14 @@ def main(argv: list[str] | None = None) -> int:
         "BEFORE launching any data job (added columns tolerated, "
         "lossless widenings tolerated)",
     )
+    p.add_argument(
+        "--suggest-rules",
+        default=None,
+        metavar="OUT_JSON",
+        help="bootstrap mode: profile the input (checks.suggest, two "
+        "aggregate passes), write suggested rule dicts to OUT_JSON, "
+        "and exit — feed the reviewed file back via --rules",
+    )
     p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
     args = p.parse_args(argv)
 
@@ -106,6 +114,16 @@ def main(argv: list[str] | None = None) -> int:
         except SchemaError as exc:
             print(json.dumps({"status": "schema_drift", "error": str(exc)}))
             return 2
+
+    if args.suggest_rules:
+        from cerberus_spark.checks.suggest import suggest_ruleset_json
+
+        suggested = suggest_ruleset_json(df)
+        with open(args.suggest_rules, "w") as fh:
+            json.dump(suggested, fh, indent=2, sort_keys=True)
+        print(json.dumps({"status": "rules_suggested", "out": args.suggest_rules,
+                          "n_fields": len(suggested)}))
+        return 0
 
     audit = None
     resume_tagged = None

@@ -193,3 +193,34 @@ def test_validate_job_expect_schema_gate(spark, transcripts, tmp_path):
     rc = main(["--input", inp, "--sink", sink, "--expect-schema", good])
     assert rc == 0
     assert spark.read.parquet(f"{sink}/violations").count() > 0
+
+
+def test_validate_job_suggest_rules_bootstrap(spark, transcripts, tmp_path):
+    """--suggest-rules profiles the input and writes a rules JSON the
+    job can consume on the next run via --rules (the bootstrap loop)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.validate_job import main
+
+    inp = str(tmp_path / "input")
+    transcripts.write.mode("overwrite").parquet(inp)
+    out_json = str(tmp_path / "suggested.json")
+
+    rc = main(["--input", inp, "--sink", str(tmp_path / "unused"),
+               "--suggest-rules", out_json])
+    assert rc == 0
+    with open(out_json) as fh:
+        rules = json.load(fh)
+    assert "role" in rules and "allowed" in rules["role"]
+    assert set(rules["role"]["allowed"]) >= {"user", "assistant"}
+
+    # feed the suggestion straight back: observed-envelope rules over
+    # the SAME data -> the run completes and flags ~nothing beyond the
+    # nullable-envelope classes by construction
+    sink = str(tmp_path / "sink")
+    rc2 = main(["--input", inp, "--sink", sink, "--rules", out_json])
+    assert rc2 == 0
+    v = spark.read.parquet(f"{sink}/violations")
+    assert v.filter(F.col("rule") == "allowed").count() == 0
