@@ -239,3 +239,39 @@ def test_bucketed_join_is_colocated_no_shuffle(spark, transcripts_parquet, tmp_p
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_bloom_probe_is_map_side_only(spark):
+    """The Bloom probe must add ZERO exchanges: broadcast bits +
+    ArrowEval over the scan — the whole point is dropping non-members
+    before any shuffle."""
+    from cerberus_spark.operators.bloom import bloom_filter_rows, build_bloom
+
+    keys = spark.createDataFrame([("a",), ("b",)], "k string")
+    bloom = build_bloom(keys, "k", capacity=64)
+    big = spark.createDataFrame([("a", 1), ("z", 2)], "k string, v long")
+    plan = plan_of(bloom_filter_rows(big, "k", bloom, 64))
+    assert "Exchange" not in plan, plan
+
+
+def test_trim_to_budget_single_shuffle(spark):
+    """One hash-partitioning exchange on the conversation key; no
+    global sort (the window sorts within partitions only)."""
+    from cerberus_spark.operators.pack import trim_to_budget
+
+    df = spark.createDataFrame([("c", 0, 5)], "conv string, turn int, toks int")
+    plan = plan_of(trim_to_budget(df, "conv", ["turn"], "toks", 10))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning(conv" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_mad_outliers_no_window_over_table(spark):
+    """Group moments come from broadcast-joined aggregates, never a
+    Window re-sort of the table."""
+    from cerberus_spark.checks.stats import outliers_mad
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    plan = plan_of(outliers_mad(df, "v", ["g"]))
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
