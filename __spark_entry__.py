@@ -1049,6 +1049,38 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming HOPPING-window aggregation: the sliding
+    window(1h, 15m) generator under an availableNow replay, complete
+    mode — each event expands into 4 overlapping windows map-side
+    exactly as in batch, so the offset-UNNEST SQL oracle must match
+    bit-for-bit.  (q_hopping_counts is the batch twin; the two share
+    window arithmetic by construction.)"""
+    import uuid
+
+    name = f"sh_{uuid.uuid4().hex[:8]}"
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(
+        F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("win_start"), "event_type", "n_events"
+    )
+
+
 def q_boilerplate_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-frequency boilerplate removal (C4-style line dedup,
     exercised at word granularity since the synthetic corpus has no
@@ -1477,6 +1509,20 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(cand)
 
 
+def q_winnow_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup pipeline tail: winnowing fingerprint candidates
+    -> connected components -> cluster id/size/survivor flag.  The
+    char-level counterpart of q_dedup_clusters (word-shingle LSH);
+    same min-label propagation, same recursive-CTE oracle shape."""
+    from cerberus_spark.operators.graph import dedup_clusters
+    from cerberus_spark.operators.winnow import winnow_candidates, winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs, "text", "doc_id", g=24, w=8, method="md5")
+    cand = winnow_candidates(fps, "doc_id", bucket_cap=50)
+    return dedup_clusters(cand)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5)
@@ -1615,6 +1661,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "equidepth_hist": q_equidepth_hist,
         "hopping_counts": q_hopping_counts,
         "bloom_semi_join": q_bloom_semi_join,
+        "stream_hopping": q_stream_hopping,
+        "winnow_clusters": q_winnow_clusters,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -2553,6 +2601,12 @@ FROM events WHERE user_id < 10
 SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
 WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 46)
 """,
+        "stream_hopping": """
+SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(15 * k AS BIGINT)) AS win_start,
+       event_type, count(*)::BIGINT AS n_events
+FROM events CROSS JOIN UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1, 2
+""",
         "hopping_counts": """
 SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(15 * k AS BIGINT)) AS win_start,
        event_type, count(*)::BIGINT AS n_events, round(sum(value), 2) AS total_value
@@ -2851,6 +2905,23 @@ SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
     }
     out["dedup_clusters"] = f"""
 WITH RECURSIVE cand AS ({minhash_cand_sql}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY cluster_id)
+SELECT cc.id, cc.cluster_id, s.csize, (cc.id = cc.cluster_id) AS keep
+FROM cc JOIN sizes s USING (cluster_id)
+"""
+    out["winnow_clusters"] = f"""
+WITH RECURSIVE cand AS ({winnow_sql}),
 sym AS (
   SELECT id_a AS a, id_b AS b FROM cand
   UNION ALL
