@@ -88,6 +88,18 @@ def _test_bits(bits, values, m: int, k: int):
     return ok
 
 
+def _unpack(bloom: bytes):
+    """(m, k, bits) from a filter blob — the 16-byte header carries the
+    geometry, so a probe can NEVER run with mismatched (m, k): wrong
+    geometry would mean silent false negatives, i.e. wrong semi-join
+    answers, not just wasted shuffle."""
+    import numpy as np
+
+    header = np.frombuffer(bloom[:16], dtype=np.uint64)
+    m, k = int(header[0]), int(header[1])
+    return m, k, np.frombuffer(bloom[16:], dtype=np.uint64)
+
+
 def build_bloom(
     keys: DataFrame,
     key_col: str,
@@ -95,9 +107,10 @@ def build_bloom(
     fp_rate: float = 0.01,
     fan_in: int = 16,
 ) -> bytes:
-    """Bloom filter bytes over the distinct values of ``key_col``
-    (nulls never enter the filter).  See module docstring for the
-    three-stage partition-parallel build."""
+    """Bloom filter blob (16-byte ``(m, k)`` header + bitarray) over
+    the distinct values of ``key_col`` (nulls never enter the filter).
+    See module docstring for the three-stage partition-parallel
+    build."""
     import numpy as np
     import pandas as pd
 
@@ -130,28 +143,21 @@ def build_bloom(
     acc = np.zeros(m // 64, dtype=np.uint64)
     for row in merged.collect():  # ≤ fan_in rows of m/8 bytes each
         acc |= np.frombuffer(row.bloom, dtype=np.uint64)
-    return acc.tobytes()
+    return np.asarray([m, k], dtype=np.uint64).tobytes() + acc.tobytes()
 
 
-def bloom_filter_rows(
-    df: DataFrame,
-    col: str,
-    bloom: bytes,
-    capacity: int,
-    fp_rate: float = 0.01,
-) -> DataFrame:
+def bloom_filter_rows(df: DataFrame, col: str, bloom: bytes) -> DataFrame:
     """Rows whose ``col`` MIGHT be in the filter (no false negatives;
     nulls are dropped — a null key matches nothing in a semi join).
+    Geometry comes from the blob header, never from caller params.
     Pure map-side: broadcast bits + vectorized probe, zero shuffles."""
-    import numpy as np
     import pandas as pd
 
-    m, k = _params(capacity, fp_rate)
     bc = df.sparkSession.sparkContext.broadcast(bloom)
     cols = df.columns
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        bits = np.frombuffer(bc.value, dtype=np.uint64)
+        m, k, bits = _unpack(bc.value)
         for b in batches:
             if len(b) == 0:
                 continue
@@ -185,5 +191,5 @@ def bloom_semi_join(
     if capacity is None:
         capacity = max(64, keys.select(on).distinct().count())
     bloom = build_bloom(keys, on, capacity, fp_rate)
-    survivors = bloom_filter_rows(big, on, bloom, capacity, fp_rate)
+    survivors = bloom_filter_rows(big, on, bloom)
     return survivors.join(keys.select(on).distinct(), on=on, how="left_semi")

@@ -27,7 +27,7 @@ def bloom(keyset):
 
 def test_no_false_negatives(spark, keyset, bloom):
     members = spark.createDataFrame([(f"key_{i}",) for i in range(0, 2000, 2)], "k string")
-    assert bloom_filter_rows(members, "k", bloom, 1000).count() == 1000
+    assert bloom_filter_rows(members, "k", bloom).count() == 1000
 
 
 def test_false_positive_rate_bounded(spark, bloom):
@@ -38,7 +38,7 @@ def test_false_positive_rate_bounded(spark, bloom):
         + [(f"other_{i}",) for i in range(9000)],
         "k string",
     )
-    fp = bloom_filter_rows(non, "k", bloom, 1000).count()
+    fp = bloom_filter_rows(non, "k", bloom).count()
     assert fp / 10000 < 0.03
 
 
@@ -51,7 +51,7 @@ def test_partition_layout_independence(spark, keyset):
 def test_nulls_never_enter_or_match(spark, keyset):
     with_null = spark.createDataFrame([("key_0",), (None,)], "k string")
     bloom = build_bloom(with_null, "k", capacity=64)
-    got = bloom_filter_rows(with_null, "k", bloom, 64).collect()
+    got = bloom_filter_rows(with_null, "k", bloom).collect()
     assert [r.k for r in got] == ["key_0"]
 
 
@@ -68,3 +68,15 @@ def test_params_sane():
     m, k = _params(1000, 0.01)
     assert m % 64 == 0 and m >= 9000  # ~9.6 bits/key at 1%
     assert 5 <= k <= 10
+
+
+def test_blob_header_carries_geometry(spark, keyset):
+    """Probe geometry comes from the blob — a filter built with ANY
+    capacity/fp_rate probes correctly with no params to mismatch."""
+    from cerberus_spark.operators.bloom import _unpack
+
+    small = build_bloom(keyset, "k", capacity=100, fp_rate=0.2)
+    m, k, bits = _unpack(small)
+    assert m == len(bits) * 64 and k >= 1
+    members = spark.createDataFrame([(f"key_{i}",) for i in range(0, 2000, 2)], "k string")
+    assert bloom_filter_rows(members, "k", small).count() == 1000  # still no FNs

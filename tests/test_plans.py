@@ -250,7 +250,7 @@ def test_bloom_probe_is_map_side_only(spark):
     keys = spark.createDataFrame([("a",), ("b",)], "k string")
     bloom = build_bloom(keys, "k", capacity=64)
     big = spark.createDataFrame([("a", 1), ("z", 2)], "k string, v long")
-    plan = plan_of(bloom_filter_rows(big, "k", bloom, 64))
+    plan = plan_of(bloom_filter_rows(big, "k", bloom))
     assert "Exchange" not in plan, plan
 
 

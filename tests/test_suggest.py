@@ -6,6 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from cerberus_spark.checks.suggest import (
     profile_columns,
@@ -102,3 +103,37 @@ def test_suggest_bin_edges_point_mass_collapses(spark):
     edges = suggest_bin_edges(df, "v", n_bins=4)
     assert edges[0] == 1.0 and edges[-1] == 9.0
     assert edges == sorted(set(edges))  # strictly increasing after dedup
+
+
+# ---------------------------------------------------------------------------
+# property: the suggested envelope NEVER flags the data it came from
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cell = st.one_of(
+    st.none(),
+    st.text(alphabet="abcXYZ09 |,", min_size=0, max_size=12),
+)
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        _cell,
+        st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                       min_value=-1e9, max_value=1e9)),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_rows)
+def test_round_trip_property_never_flags_own_data(spark, rows):
+    df = spark.createDataFrame(rows, "i long, s string, f double")
+    rs = suggest_ruleset(df, distinct_cap=8)
+    res = validate(df.withColumn("_k", F.monotonically_increasing_id()), rs, key_cols=["_k"])
+    bad = res.annotated.filter("NOT _passed")
+    assert bad.count() == 0, (rows, rs, bad.collect())
