@@ -289,6 +289,25 @@ def q_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-time-window chi-square + G-test against the frozen
+    pre-split baseline — windowed_drift_report's no-expansion shape
+    applied to the frequentist statistics (absent baseline bins
+    contribute exactly their expected count, a per-window scalar;
+    checks/drift.py:windowed_chi2_report)."""
+    from cerberus_spark.checks.drift import (
+        windowed_categorical_histograms,
+        windowed_chi2_report,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = categorical_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "event_type")
+    wins = windowed_categorical_histograms(
+        ev.filter(F.col("ts") >= DRIFT_SPLIT), "event_type", "ts", "1 day"
+    )
+    return windowed_chi2_report(wins, base, "event_type")
+
+
 def q_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-time-window drift: KL/PSI of each post-split 1-day
     window's event_type histogram against the frozen pre-split
@@ -1663,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_join": q_bloom_semi_join,
         "stream_hopping": q_stream_hopping,
         "winnow_clusters": q_winnow_clusters,
+        "windowed_chi2": q_windowed_chi2,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -1811,6 +1831,33 @@ SELECT j.ws AS window_start, j.ws + INTERVAL 1 DAY AS window_end,
        round(sum((cc/bt_ct.ct + 1e-9) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS kl,
        round(sum(((cc/bt_ct.ct + 1e-9) - (bc/bt_ct.bt + 1e-9)) * ln((cc/bt_ct.ct + 1e-9) / (bc/bt_ct.bt + 1e-9))), 6) AS psi
 FROM j JOIN t AS bt_ct ON j.ws = bt_ct.ws
+GROUP BY 1, 2, 3
+"""
+    windowed_chi2_sql = f"""
+WITH b AS (
+  SELECT event_type AS bin, count(*)::BIGINT AS bc FROM events
+  WHERE ts < TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1
+), c AS (
+  SELECT date_trunc('day', ts)::TIMESTAMP AS ws, event_type AS bin, count(*)::BIGINT AS cc
+  FROM events WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}' GROUP BY 1, 2
+), support AS (
+  SELECT w.ws, b.bin, b.bc FROM (SELECT DISTINCT ws FROM c) w CROSS JOIN b
+), j AS (
+  SELECT coalesce(s.ws, c.ws) AS ws, coalesce(s.bin, c.bin) AS bin,
+         coalesce(s.bc, 0) AS bc, coalesce(cc, 0) AS cc
+  FROM support s FULL OUTER JOIN c ON s.ws = c.ws AND s.bin = c.bin
+), t AS (SELECT ws, sum(cc) AS ct FROM j GROUP BY 1),
+g AS (SELECT sum(bc) AS bt, count(*) AS n_bins_b FROM b)
+SELECT j.ws AS window_start, j.ws + INTERVAL 1 DAY AS window_end,
+       'event_type' AS column_name,
+       round(sum(CASE WHEN bc > 0
+             THEN (cc - t.ct * bc / g.bt) * (cc - t.ct * bc / g.bt) / (t.ct * bc / g.bt)
+             ELSE 0 END), 6) AS chi2,
+       round(sum(CASE WHEN bc > 0 AND cc > 0
+             THEN 2.0 * cc * ln(cc / (t.ct * bc / g.bt)) ELSE 0 END), 6) AS g_stat,
+       sum(CASE WHEN bc = 0 THEN cc ELSE 0 END)::BIGINT AS unseen_count,
+       (max(g.n_bins_b) - 1)::BIGINT AS dof
+FROM j JOIN t ON j.ws = t.ws CROSS JOIN g
 GROUP BY 1, 2, 3
 """
     # PII redaction: same patterns, same order, counts on the
@@ -2421,6 +2468,7 @@ FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
 """,
         "ks_drift": ks_drift_sql,
+        "windowed_chi2": windowed_chi2_sql,
         "equidepth_hist": f"""
 WITH q AS (
   SELECT list_sort(list_distinct(list_transform(

@@ -342,3 +342,68 @@ def ks_drift(
         .agg(F.round(F.max("gap"), 6).alias("ks"))
         .select(F.lit(column_name).alias("column_name"), "ks")
     )
+
+
+def windowed_chi2_report(
+    window_hists: DataFrame,
+    baseline_hist: DataFrame,
+    column_name: str = "value",
+) -> DataFrame:
+    """Per-window Pearson chi-square + G-statistic against one FROZEN
+    baseline: (window_start, window_end, column_name, chi2, g_stat,
+    unseen_count, dof).
+
+    Same no-expansion shape as :func:`windowed_drift_report`: a
+    baseline bin ABSENT from a window contributes exactly its expected
+    count (obs = 0 ⇒ (0−exp)²/exp = exp, G-term 0), so the missing-bin
+    chi2 mass is ``ct_w · (bt − Σ_present bc) / bt`` — computed from
+    per-window scalars, never a windows × bins support join.  Legal
+    over batch AND streaming window histograms.
+    """
+    from pyspark.sql import Window as W
+
+    b = baseline_hist.groupBy("bin").agg(F.sum("count").alias("b_count"))
+    bt_row = b.agg(
+        F.sum("b_count").alias("bt"), F.count(F.lit(1)).alias("n_bins_b")
+    )
+    c = window_hists.groupBy("w", "bin").agg(F.sum("count").alias("c_count"))
+    j = c.join(F.broadcast(b), on="bin", how="left").crossJoin(F.broadcast(bt_row))
+    ct = F.sum("c_count").over(W.partitionBy("w"))
+    exp = ct * F.col("b_count") / F.col("bt")  # NULL when bin unseen in baseline
+    obs = F.col("c_count")
+    terms = j.select(
+        "w",
+        ct.alias("ct"),
+        "bt",
+        "n_bins_b",
+        F.when(F.col("b_count").isNotNull(), (obs - exp) * (obs - exp) / exp)
+        .otherwise(0.0)
+        .alias("chi2_term"),
+        F.when(F.col("b_count").isNotNull() & (obs > 0), 2.0 * obs * F.log(obs / exp))
+        .otherwise(0.0)
+        .alias("g_term"),
+        F.when(F.col("b_count").isNull(), obs).otherwise(F.lit(0)).alias("unseen"),
+        F.coalesce(F.col("b_count"), F.lit(0)).alias("covered_bc"),
+    )
+    return (
+        terms.groupBy("w", "ct", "bt", "n_bins_b")
+        .agg(
+            F.sum("chi2_term").alias("chi2_present"),
+            F.sum("g_term").alias("g_raw"),
+            F.sum("unseen").alias("unseen_count"),
+            F.sum("covered_bc").alias("bc_present"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.lit(column_name).alias("column_name"),
+            F.round(
+                F.col("chi2_present")
+                + F.col("ct") * (F.col("bt") - F.col("bc_present")) / F.col("bt"),
+                6,
+            ).alias("chi2"),
+            F.round(F.col("g_raw"), 6).alias("g_stat"),
+            "unseen_count",
+            (F.col("n_bins_b") - 1).alias("dof"),
+        )
+    )

@@ -674,3 +674,31 @@ def test_ks_drift_identical_zero_and_disjoint_one(spark):
     hb = numeric_histogram(b, "value", edges)
     assert ks_drift(ha, ha).collect()[0].ks == 0.0
     assert ks_drift(ha, hb).collect()[0].ks == 1.0
+
+
+def test_windowed_chi2_matches_per_slice(spark, transcripts):
+    """Per-window chi2/G from windowed_chi2_report must equal running
+    the plain two-histogram chi_square_drift independently on each
+    window's slice — the missing-bin-mass shortcut is a reshape, not
+    new math."""
+    from cerberus_spark.checks.drift import (
+        chi_square_drift,
+        windowed_categorical_histograms,
+        windowed_chi2_report,
+    )
+
+    base = categorical_histogram(transcripts, "role")
+    wins = windowed_categorical_histograms(transcripts, "role", "ts", "1 hour")
+    got = {
+        r.window_start: r
+        for r in windowed_chi2_report(wins, base, "role").collect()
+    }
+    assert len(got) >= 5
+    for ws, row in got.items():
+        sl = transcripts.filter(
+            (F.col("ts") >= F.lit(ws)) & (F.col("ts") < F.lit(ws) + F.expr("INTERVAL 1 HOUR"))
+        )
+        exp = chi_square_drift(base, categorical_histogram(sl, "role"), "role").collect()[0]
+        assert abs(row.chi2 - exp.chi2) < 1e-6, (ws, row, exp)
+        assert abs(row.g_stat - exp.g_stat) < 1e-6
+        assert row.unseen_count == exp.unseen_count and row.dof == exp.dof
