@@ -289,6 +289,17 @@ def q_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-volume anomaly monitor: hourly window counts vs the
+    trailing-6-window mean, ratio band [0.5, 2.0] — one |windows|-sized
+    frame after a single partial-agg'd groupBy
+    (checks/stats.py:volume_anomalies)."""
+    from cerberus_spark.checks.stats import volume_anomalies
+
+    ev = _t(spark, sf_dir, "events")
+    return volume_anomalies(ev, "ts", "1 hour", trailing=6)
+
+
 def q_windowed_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-time-window chi-square + G-test against the frozen
     pre-split baseline — windowed_drift_report's no-expansion shape
@@ -1683,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hopping": q_stream_hopping,
         "winnow_clusters": q_winnow_clusters,
         "windowed_chi2": q_windowed_chi2,
+        "volume_anomaly": q_volume_anomaly,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -2469,6 +2481,21 @@ WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
 """,
         "ks_drift": ks_drift_sql,
         "windowed_chi2": windowed_chi2_sql,
+        "volume_anomaly": """
+WITH counts AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1
+), t AS (
+  SELECT ws, n_events,
+         avg(n_events) OVER (ORDER BY ws ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS tm,
+         count(n_events) OVER (ORDER BY ws ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS nt
+  FROM counts
+)
+SELECT ws AS window_start, n_events, round(tm, 6) AS trailing_mean,
+       round(n_events / tm, 6) AS ratio,
+       (round(n_events / tm, 6) < 0.5 OR round(n_events / tm, 6) > 2.0) AS anomaly
+FROM t WHERE nt = 6
+""",
         "equidepth_hist": f"""
 WITH q AS (
   SELECT list_sort(list_distinct(list_transform(

@@ -183,3 +183,55 @@ def outliers_mad(
         .withColumn("mad_z", z)
         .drop("_med", "_mad")
     )
+
+
+def volume_anomalies(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    trailing: int = 6,
+    min_ratio: float = 0.5,
+    max_ratio: float = 2.0,
+) -> DataFrame:
+    """Event-time windows whose row count deviates from the mean of the
+    ``trailing`` preceding windows by more than the ratio band — the
+    operational "did ingestion silently break / double-fire" check the
+    reference approximates with eyeballed periodic stats dumps
+    (internal/monitor/monitor.go:514-584).
+
+    Output: (window_start, n_events, trailing_mean, ratio, anomaly)
+    for every window with a full trailing context.  Ratio is rounded
+    BEFORE the band test (repo determinism rule).
+
+    Scale shape: ONE partial-agg'd groupBy to |windows| rows, then the
+    lag/mean window functions run on that |windows|-sized frame —
+    never on data.  Gaps: only PRESENT windows count (an entirely
+    empty window is invisible to a count-based monitor; pair with
+    contiguity checks to catch full outages).
+    """
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(
+        F.window(ts_col, window_duration).alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    ordered = W.orderBy(F.col("w.start")).rowsBetween(-trailing, -1)
+    out = (
+        counts.withColumn("trailing_mean", F.avg("n_events").over(ordered))
+        .withColumn("n_trailing", F.count("n_events").over(ordered))
+        .filter(F.col("n_trailing") == trailing)
+        .withColumn(
+            "ratio", F.round(F.col("n_events") / F.col("trailing_mean"), 6)
+        )
+        .withColumn(
+            "anomaly",
+            (F.col("ratio") < F.lit(float(min_ratio)))
+            | (F.col("ratio") > F.lit(float(max_ratio))),
+        )
+    )
+    return out.select(
+        F.col("w.start").alias("window_start"),
+        "n_events",
+        F.round(F.col("trailing_mean"), 6).alias("trailing_mean"),
+        "ratio",
+        "anomaly",
+    )

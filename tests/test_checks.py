@@ -702,3 +702,32 @@ def test_windowed_chi2_matches_per_slice(spark, transcripts):
         assert abs(row.chi2 - exp.chi2) < 1e-6, (ws, row, exp)
         assert abs(row.g_stat - exp.g_stat) < 1e-6
         assert row.unseen_count == exp.unseen_count and row.dof == exp.dof
+
+
+def test_volume_anomalies_matches_python(spark):
+    import datetime as dt
+
+    from cerberus_spark.checks.stats import volume_anomalies
+
+    # hourly volumes: steady 10s, one spike, one crash
+    vols = [10, 10, 10, 12, 300, 10, 10, 1]
+    rows = [
+        (dt.datetime(2024, 1, 1, h, m % 60),)
+        for h, n in enumerate(vols)
+        for m in range(n)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp")
+    got = {
+        r.window_start.hour: r
+        for r in volume_anomalies(df, "ts", "1 hour", trailing=3).collect()
+    }
+    # windows 0-2 lack full trailing context
+    assert set(got) == {3, 4, 5, 6, 7}
+    assert not got[3].anomaly                       # 12 vs mean(10,10,10)
+    assert got[4].anomaly and got[4].ratio > 2      # spike
+    # the spike contaminates the next 3 trailing means (documented
+    # trailing-mean behavior): 10 vs mean(10,12,300) is "low" too
+    assert got[5].anomaly and got[5].ratio < 0.5
+    assert got[7].anomaly and got[7].ratio < 0.5    # crash
+    # exact python twin for one window: w3 mean = (10+10+10)/3
+    assert got[3].trailing_mean == 10.0 and got[3].ratio == 1.2
