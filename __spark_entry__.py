@@ -289,6 +289,34 @@ def q_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the web-corpus per-host cap): keep ≤ 10
+    docs per source by DETERMINISTIC md5 rank — an unbiased, engine-
+    and partitioning-stable subset, never scan-order "first 10"
+    (operators/sample.py:cap_per_group).  Cap 10 bites at every SF
+    (the synthetic corpus spreads 25+ docs per source)."""
+    from cerberus_spark.operators.sample import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return cap_per_group(docs, "source", 10, "doc_id")
+
+
+def q_winsorize_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization of event values into the [p5, p95]
+    envelope — one |groups|-sized order-statistic aggregate broadcast
+    onto the scan, codegen'd clip (checks/stats.py:winsorize)."""
+    from cerberus_spark.checks.stats import winsorize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = winsorize(ev, "value", 0.05, 0.95, group_cols=["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value"), 6).alias("value"),
+        F.round(F.col("value_w"), 6).alias("value_w"),
+    )
+
+
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-volume anomaly monitor: hourly window counts vs the
     trailing-6-window mean, ratio band [0.5, 2.0] — one |windows|-sized
@@ -1695,6 +1723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_clusters": q_winnow_clusters,
         "windowed_chi2": q_windowed_chi2,
         "volume_anomaly": q_volume_anomaly,
+        "cap_per_domain": q_cap_per_domain,
+        "winsorize_value": q_winsorize_value,
         "windowed_drift": q_windowed_drift,
         "windowed_drift_value": q_windowed_drift_value,
         "boilerplate_words": q_boilerplate_words,
@@ -2481,6 +2511,26 @@ WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
 """,
         "ks_drift": ks_drift_sql,
         "windowed_chi2": windowed_chi2_sql,
+        "cap_per_domain": f"""
+SELECT doc_id, source, group_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY {_MD5_I64.format(expr="CAST(doc_id AS VARCHAR) || '|cap'")}, doc_id
+         ) AS group_rank
+  FROM documents
+) WHERE group_rank <= 10
+""",
+        "winsorize_value": """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round(CASE WHEN value IS NULL THEN NULL
+                  ELSE least(greatest(value, lo), hi) END, 6) AS value_w
+FROM events LEFT JOIN q USING (event_type)
+""",
         "volume_anomaly": """
 WITH counts AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, count(*)::BIGINT AS n_events

@@ -235,3 +235,43 @@ def volume_anomalies(
         "ratio",
         "anomaly",
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo_p: float = 0.01,
+    hi_p: float = 0.99,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` into its (per-group) [lo_p, hi_p] quantile
+    envelope — the standard heavy-tail normalization before numeric
+    features feed a training mix.  Adds ``<value_col>_w``; original
+    column untouched; NULLs pass through as NULL.
+
+    Scale shape: the quantile pair is ONE |groups|-sized
+    order-statistic aggregate broadcast back onto the scan (same shape
+    as outliers_mad); the clip itself is a codegen'd scalar
+    expression.  At 10^12 rows swap ``percentile`` for
+    ``percentile_approx`` at the single call site.
+    """
+    gcols = group_cols or []
+    q = df.groupBy(*gcols).agg(
+        F.expr(f"percentile({value_col}, array({lo_p}, {hi_p}))").alias("_qs")
+    ).select(
+        *gcols,
+        F.col("_qs")[0].alias("_lo"),
+        F.col("_qs")[1].alias("_hi"),
+    )
+    joined = (
+        df.join(F.broadcast(q), on=gcols, how="left")
+        if gcols
+        else df.crossJoin(F.broadcast(q))
+    )
+    v = F.col(value_col)
+    # explicit null gate: greatest/least SKIP nulls (a NULL value would
+    # silently clip to _lo instead of staying NULL)
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    return joined.withColumn(f"{value_col}_w", clipped).drop("_lo", "_hi")

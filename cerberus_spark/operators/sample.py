@@ -175,3 +175,36 @@ def resample_to_mixture(
         .filter(bucket < F.col("_thr"))
         .drop("_thr")
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group — the per-domain document
+    cap every web-corpus recipe applies so one giant host can't
+    dominate the training mix.
+
+    Selection is a DETERMINISTIC pseudo-random rank: rows are ordered
+    inside each group by ``md5(id || salt)`` (ties broken by id), so
+    the kept subset is an unbiased sample that is stable across runs,
+    engines and partitionings — never "first cap by insertion order",
+    which at 100 TB means "whatever file order the scan happened to
+    produce".
+
+    Scale shape: ONE shuffle keyed on the group; per-task state is one
+    group's rows (a group larger than a task's memory spills through
+    the sort, it never collects).  Output adds ``group_rank`` (1-based)
+    so callers can audit how deep the cap cut.
+    """
+    from pyspark.sql import Window as W
+
+    rnd = md5_i64(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    w = W.partitionBy(group_col).orderBy(rnd.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("group_rank", F.row_number().over(w))
+        .filter(F.col("group_rank") <= F.lit(int(cap)))
+    )

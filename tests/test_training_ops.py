@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from cerberus_spark.functions.text import vocabulary
@@ -486,3 +487,51 @@ def test_trim_bad_keep_raises(spark):
 
     with pytest.raises(ValueError):
         trim_to_budget(_trim_df(spark), "conv", ["turn"], "toks", 10, keep="middle")
+
+
+# ---------------------------------------------------------------------------
+# cap_per_group / winsorize
+# ---------------------------------------------------------------------------
+
+
+def test_cap_per_group_caps_and_is_deterministic(spark):
+    from cerberus_spark.operators.sample import cap_per_group
+
+    rows = [(i, f"dom{i % 3}") for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    out = cap_per_group(df, "domain", 10, "doc_id")
+    per = {r.domain: r.n for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert per == {"dom0": 10, "dom1": 10, "dom2": 10}
+    # deterministic across shuffles/partitionings
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(r.doc_id for r in cap_per_group(df.repartition(7), "domain", 10, "doc_id").collect())
+    assert a == b
+    # small groups pass through whole
+    assert cap_per_group(df, "domain", 50, "doc_id").count() == 90
+    # different salt -> different (still deterministic) subset
+    c = sorted(r.doc_id for r in cap_per_group(df, "domain", 10, "doc_id", salt="v2").collect())
+    assert a != c
+
+
+def test_winsorize_matches_numpy(spark):
+    import numpy as np
+
+    from cerberus_spark.checks.stats import winsorize
+
+    vals = [float(v) for v in range(1, 101)] + [10000.0, -10000.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, v double")
+    out = {r.id: r.v_w for r in winsorize(df, "v", 0.05, 0.95).collect()}
+    lo, hi = np.percentile(vals, [5, 95])
+    want = {i: float(np.clip(v, lo, hi)) for i, v in enumerate(vals)}
+    assert out == pytest.approx(want)
+
+
+def test_winsorize_grouped_and_nulls(spark):
+    from cerberus_spark.checks.stats import winsorize
+
+    rows = [("a", float(v)) for v in range(10)] + [("b", 1000.0), ("b", 0.0), ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, "v", 0.0, 1.0, group_cols=["g"])  # identity clip
+    got = [(r.g, r.v, r.v_w) for r in out.collect()]
+    assert all(vw == v for _, v, vw in got if v is not None)
+    assert any(v is None and vw is None for _, v, vw in got)
