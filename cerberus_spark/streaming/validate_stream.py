@@ -189,10 +189,15 @@ def streaming_drift_monitor(
     watermark: str = "1 hour",
     checkpoint_dir: str | None = None,
     trigger_available_now: bool = False,
+    report_fn=None,
 ):
     """Continuous drift monitor: per-event-time-window KL/PSI of
     ``column`` against a FROZEN baseline histogram, appended to a
-    parquet sink as windows seal.
+    parquet sink as windows seal.  ``report_fn`` swaps the statistic:
+    any ``(window_hists, baseline_hist, column) -> DataFrame`` with the
+    windowed-report contract — e.g. ``drift.windowed_chi2_report`` for
+    the sample-size-aware chi-square/G variant — defaulting to
+    ``windowed_drift_report`` (KL/PSI).
 
     Why this shape is correct AND bounded: the windowed histogram runs
     in APPEND mode under a watermark, so each window is emitted exactly
@@ -212,6 +217,7 @@ def streaming_drift_monitor(
         windowed_drift_report,
     )
 
+    report = report_fn or windowed_drift_report
     hists = windowed_categorical_histograms(
         stream_df, column, ts_col, window_duration, watermark=watermark
     )
@@ -219,7 +225,7 @@ def streaming_drift_monitor(
     def _emit(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        windowed_drift_report(batch_df, baseline_hist, column).write.mode(
+        report(batch_df, baseline_hist, column).write.mode(
             "append"
         ).parquet(sink_dir)
 

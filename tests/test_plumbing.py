@@ -183,3 +183,49 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
     for w in exp:
         assert abs(got[w][0] - exp[w][0]) < 1e-9
         assert abs(got[w][1] - exp[w][1]) < 1e-9
+
+
+def test_streaming_drift_monitor_pluggable_chi2(spark, tmp_path):
+    """report_fn swaps the statistic: the monitor running
+    windowed_chi2_report must equal the batch chi2 report on the
+    sealed windows."""
+    from cerberus_spark.checks.drift import (
+        categorical_histogram,
+        windowed_categorical_histograms,
+        windowed_chi2_report,
+    )
+    from cerberus_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+    from cerberus_spark.streaming import streaming_drift_monitor
+
+    src = str(tmp_path / "chi_src")
+    generate_transcripts(spark, 300).write.parquet(src)
+    batch = spark.read.parquet(src)
+    baseline = categorical_histogram(batch, "role")
+
+    sink = str(tmp_path / "chi_out")
+    q = streaming_drift_monitor(
+        spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src),
+        baseline,
+        "role",
+        sink,
+        window_duration="1 hour",
+        watermark="0 seconds",
+        checkpoint_dir=str(tmp_path / "chi_ckpt"),
+        trigger_available_now=True,
+        report_fn=windowed_chi2_report,
+    )
+    q.awaitTermination()
+
+    got = {r.window_start: (r.chi2, r.g_stat) for r in spark.read.parquet(sink).collect()}
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    sealed = windowed_categorical_histograms(batch, "role", "ts", "1 hour").filter(
+        F.col("w.end") <= F.lit(max_ts)
+    )
+    exp = {
+        r.window_start: (r.chi2, r.g_stat)
+        for r in windowed_chi2_report(sealed, baseline, "role").collect()
+    }
+    assert got.keys() == exp.keys() and len(exp) >= 3
+    for w in exp:
+        assert abs(got[w][0] - exp[w][0]) < 1e-6
+        assert abs(got[w][1] - exp[w][1]) < 1e-6
