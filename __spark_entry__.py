@@ -289,6 +289,20 @@ def q_drift_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-≤1 fuzzy self-join on supplier names via deletion
+    neighborhoods (FastSS): ONE equi-join on the 1-deletion variant
+    (bounded len(key)+1 expansion per row) + exact levenshtein verify —
+    result EXACTLY equals the quadratic theta join the oracle runs,
+    which at 100 TB would be an un-plannable nested loop
+    (operators/fuzzy.py).  Cap raised so no true pair is dropped at
+    this SF (the capped path is pytest-locked)."""
+    from cerberus_spark.operators.fuzzy import edit1_pairs
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return edit1_pairs(sup, "s_suppkey", "s_name", bucket_cap=10_000)
+
+
 def q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (the web-corpus per-host cap): keep ≤ 10
     docs per source by DETERMINISTIC md5 rank — an unbiased, engine-
@@ -1723,6 +1737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_clusters": q_winnow_clusters,
         "windowed_chi2": q_windowed_chi2,
         "volume_anomaly": q_volume_anomaly,
+        "fuzzy_pairs": q_fuzzy_pairs,
         "cap_per_domain": q_cap_per_domain,
         "winsorize_value": q_winsorize_value,
         "windowed_drift": q_windowed_drift,
@@ -2511,6 +2526,13 @@ WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
 """,
         "ks_drift": ks_drift_sql,
         "windowed_chi2": windowed_chi2_sql,
+        "fuzzy_pairs": """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS key_a, b.s_name AS key_b,
+       levenshtein(a.s_name, b.s_name)::INT AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+""",
         "cap_per_domain": f"""
 SELECT doc_id, source, group_rank FROM (
   SELECT doc_id, source,
