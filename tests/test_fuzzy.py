@@ -53,3 +53,30 @@ def test_edit1_bucket_cap_drops_degenerate(spark):
 def test_edit1_min_len_and_nulls(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "ac"), (3, None)], "id long, k string")
     assert edit1_pairs(df, "id", "k", min_len=3).count() == 0
+
+
+def test_edit1_random_single_edits_always_found(spark):
+    """Batch property: apply one random edit (sub/ins/del) to 30 random
+    base strings — every (orig, edited) pair must surface.  Seeded RNG,
+    ONE Spark job for all examples."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghij"
+    rows, expected = [], set()
+    for n in range(30):
+        base = "".join(rng.choice(alpha) for _ in range(rng.randint(4, 12)))
+        pos = rng.randrange(len(base))
+        op = rng.choice(["sub", "ins", "del"])
+        if op == "sub":
+            edited = base[:pos] + rng.choice(alpha.upper()) + base[pos + 1 :]
+        elif op == "ins":
+            edited = base[:pos] + rng.choice(alpha.upper()) + base[pos:]
+        else:
+            edited = base[:pos] + base[pos + 1 :]
+        ia, ib = 2 * n, 2 * n + 1
+        rows += [(ia, f"{n:02d}_" + base), (ib, f"{n:02d}_" + edited)]
+        expected.add((ia, ib))
+    df = spark.createDataFrame(rows, "id long, k string")
+    got = {(r.id_a, r.id_b) for r in edit1_pairs(df, "id", "k", bucket_cap=500).collect()}
+    assert expected <= got, expected - got
