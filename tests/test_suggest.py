@@ -137,3 +137,15 @@ def test_round_trip_property_never_flags_own_data(spark, rows):
     res = validate(df.withColumn("_k", F.monotonically_increasing_id()), rs, key_cols=["_k"])
     bad = res.annotated.filter("NOT _passed")
     assert bad.count() == 0, (rows, rs, bad.collect())
+
+
+def test_suggest_ruleset_json_serializable(spark, fx):
+    import json
+
+    from cerberus_spark.checks.suggest import suggest_ruleset_json
+
+    rs = suggest_ruleset_json(fx)
+    # round-trips through json and timestamps render as strings
+    loaded = json.loads(json.dumps(rs))
+    assert loaded["ts"]["min"] == "2024-01-01 10:00:00"
+    assert loaded["id"]["min"] == 1 and isinstance(loaded["val"]["max"], float)
