@@ -113,6 +113,46 @@ def q_rule_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggestion_rows(spark, _t(spark, sf_dir, "events"), distinct_cap=16)
 
 
+def q_validate_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended Cerberus vocabulary in-query: `keysrules`/`valuesrules`
+    over a from_json map (F.exists on map_keys/map_values — no
+    explode), `contains` on an array column, and the `allof`/`noneof`
+    combinators.  Value column dropped: Spark renders a map as
+    '{k -> v}' vs DuckDB '{k=v}', and value rendering is already
+    oracle-gated by validate_nested."""
+    from cerberus_spark.plans.barrier import evaluate_once
+
+    ev = _t(spark, sf_dir, "events")
+    parsed = evaluate_once(ev, "_pm", F.from_json("props", "map<string,int>"))
+    base = parsed.select(
+        "event_id",
+        F.col("_pm").alias("pm"),
+        F.split(
+            F.concat_ws(
+                ",", "event_type",
+                F.when(F.col("user_id") % 2 == 0, F.lit("beta")),
+            ),
+            ",",
+        ).alias("tags"),
+        (F.col("user_id") % 100).cast("int").alias("vnum"),
+    )
+    rules = {
+        "pm": {
+            "type": "dict",
+            "keysrules": {"allowed": ["k"]},   # never fires (keys are 'k')
+            "valuesrules": {"min": 10},
+        },
+        "tags": {"type": "list", "contains": ["beta"]},
+        "vnum": {
+            "type": "integer",
+            "allof": [{"min": 10}, {"max": 89}],
+            "noneof": [{"allowed": [13, 17]}],
+        },
+    }
+    res = validate(base, rules, key_cols=["event_id"])
+    return res.violations().select("event_id", "field", "rule")
+
+
 def q_validate_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nested rule vocabulary over a struct derived in-query with
     from_json: `schema` (subfield rules compiled to getField
@@ -1725,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new this round ---
         "winnow_candidates": q_winnow_candidates,
+        "validate_extended": q_validate_extended,
         "rule_suggestions": q_rule_suggestions,
         "outliers_mad": q_outliers_mad,
         "chi2_drift": q_chi2_drift,
@@ -2380,6 +2421,23 @@ SELECT event_type, max(n_values)::BIGINT AS n_values,
        round(max(CASE WHEN p = 0.5 THEN v END), 4) AS q50,
        round(max(CASE WHEN p = 0.9 THEN v END), 4) AS q90
 FROM vals GROUP BY event_type
+""",
+        "validate_extended": """
+WITH base AS (
+  SELECT event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k,
+         props IS NOT NULL AS has_pm,
+         (user_id % 2 = 0) AS has_beta,
+         CAST(user_id % 100 AS INT) AS vnum
+  FROM events
+)
+SELECT event_id, 'pm' AS field, 'valuesrules.min' AS rule FROM base WHERE has_pm AND k < 10
+UNION ALL
+SELECT event_id, 'tags', 'contains' FROM base WHERE NOT has_beta
+UNION ALL
+SELECT event_id, 'vnum', 'allof' FROM base WHERE vnum < 10 OR vnum > 89
+UNION ALL
+SELECT event_id, 'vnum', 'noneof' FROM base WHERE vnum IN (13, 17)
 """,
         "validate_nested": """
 WITH base AS (

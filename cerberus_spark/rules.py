@@ -46,11 +46,22 @@ Rule vocabulary (per field):
                   element violates <rule>) — no explode, no shuffle;
                   an element-level ``schema`` handles arrays of structs
                   ("items.<sub>.<rule>").
-    anyof/oneof:  list of alternative value-rule dicts; the value must
-                  satisfy at least one (anyof) / exactly one (oneof)
-                  alternative in full.  Compiled to a disjunction /
-                  exact-count of per-alternative conjunctions — still
-                  one Catalyst predicate.
+    anyof/oneof/allof/noneof:
+                  list of alternative value-rule dicts; the value must
+                  satisfy at least one (anyof) / exactly one (oneof) /
+                  all (allof) / none (noneof) of the alternatives in
+                  full.  Compiled to an exact-count of per-alternative
+                  conjunctions — still one Catalyst predicate.
+    contains:     the array value must contain ALL the given members
+                  (``F.array_except`` against the literal set)
+    excludes:     this field may be non-null only when every named
+                  sibling field is null (mutual exclusion — the
+                  cross-field inverse of ``dependencies``)
+    keysrules / valuesrules:
+                  value rules applied to every key / value of a dict
+                  (map) field via ``F.exists`` over ``map_keys`` /
+                  ``map_values`` — violations "keysrules.<rule>" /
+                  "valuesrules.<rule>", no explode, no shuffle.
 
 Violation output is normalized rows ``(…keys, field, rule, value)`` —
 the engine's analog of the reference's CommunicationPattern finding rows
@@ -92,7 +103,8 @@ TYPE_MAP: dict[str, tuple[type, ...]] = {
 KNOWN_RULES = {
     "type", "required", "nullable", "allowed", "forbidden", "min", "max",
     "minlength", "maxlength", "regex", "empty", "dependencies", "custom",
-    "vcheck", "schema", "items", "anyof", "oneof",
+    "vcheck", "schema", "items", "anyof", "oneof", "allof", "noneof",
+    "contains", "excludes", "keysrules", "valuesrules",
 }
 
 #: rules usable inside anyof/oneof alternatives and items dicts
@@ -101,7 +113,7 @@ KNOWN_RULES = {
 #: time on the field itself)
 VALUE_RULES = {
     "allowed", "forbidden", "min", "max", "minlength", "maxlength",
-    "regex", "empty", "custom",
+    "regex", "empty", "custom", "contains",
 }
 
 
@@ -204,6 +216,11 @@ def _value_pred(col: Column, rname: str, rval: Any, length_fn) -> Column:
         return ~col.isin(list(rval))
     if rname == "forbidden":
         return col.isin(list(rval))
+    if rname == "contains":
+        # Cerberus semantics: the collection must contain ALL the given
+        # values (scalar rval = one required member); array columns only
+        req = rval if isinstance(rval, (list, tuple, set)) else [rval]
+        return F.size(F.array_except(F.array(*[F.lit(x) for x in req]), col)) > 0
     if rname == "min":
         return col < F.lit(rval)
     if rname == "max":
@@ -230,7 +247,8 @@ def _value_pred(col: Column, rname: str, rval: Any, length_fn) -> Column:
 #: deterministic emission order for value rules (dict order of user
 #: schemas is preserved elsewhere; within one field we fix the order)
 _VALUE_RULE_ORDER = (
-    "allowed", "forbidden", "min", "max", "minlength", "maxlength", "regex",
+    "allowed", "forbidden", "contains", "min", "max", "minlength",
+    "maxlength", "regex",
 )
 
 
@@ -347,6 +365,69 @@ def _compile_field(
             # field may only be non-null when all dependencies hold
             rules.append(CompiledRule(path, "dependencies", col.isNotNull() & ~deps_met, col))
 
+    if "excludes" in fr:
+        # mutual exclusion: this field may only be non-null when every
+        # excluded sibling is null (Cerberus `excludes`)
+        exc = fr["excludes"]
+        if isinstance(exc, str):
+            exc = [exc]
+        present = None
+        for efield in exc:
+            if parent is None:
+                ecol = F.col(efield)
+            else:
+                ecol, _, known = _resolve_sub(parent[0], parent[1], efield)
+                if not known:
+                    schema_errors.append(
+                        f"field {path!r}: excludes {efield!r} not in parent schema"
+                    )
+                    continue
+            t = ecol.isNotNull()
+            present = t if present is None else present | t
+        if present is not None:
+            rules.append(CompiledRule(path, "excludes", col.isNotNull() & present, col))
+
+    # --- map-element rules: keysrules / valuesrules ------------------
+    for mrule, getter, side in (
+        ("keysrules", F.map_keys, "key"),
+        ("valuesrules", F.map_values, "value"),
+    ):
+        if mrule not in fr:
+            continue
+        mfr = fr[mrule]
+        if not isinstance(mfr, dict):
+            raise SchemaError(f"{mrule} for field {path!r} must be a dict")
+        bad = set(mfr) - VALUE_RULES
+        if bad:
+            raise SchemaError(
+                f"rule(s) {sorted(bad)} not allowed inside {mrule} for {path!r}"
+            )
+        if dtype is not None and not isinstance(dtype, T.MapType):
+            schema_errors.append(
+                f"field {path!r}: {mrule} needs dict, input has {dtype.simpleString()}"
+            )
+            continue
+        elem_dtype = None
+        if isinstance(dtype, T.MapType):
+            elem_dtype = dtype.keyType if side == "key" else dtype.valueType
+        elem_len = _length_fn(elem_dtype, None)
+        arr = getter(col)
+
+        def map_rule_factory(rname, rval, lf):
+            # NULL map value -> NULL pred; F.exists skips it (keys are
+            # never null) — same null-gate discipline as items
+            return lambda e: _value_pred(e, rname, rval, lf)
+
+        for rname, rval in _iter_value_rules(mfr):
+            rules.append(
+                CompiledRule(
+                    path,
+                    f"{mrule}.{rname}",
+                    _null_gate(col, F.exists(arr, map_rule_factory(rname, rval, elem_len))),
+                    col,
+                )
+            )
+
     if "vcheck" in fr:
         name = fr["vcheck"]
         fn = VCHECKS.get(name)
@@ -357,24 +438,24 @@ def _compile_field(
             CompiledRule(path, f"vcheck:{name}", _null_gate(col, ~checker(col)), col)
         )
 
-    # --- combinators: anyof / oneof ----------------------------------
-    for comb in ("anyof", "oneof"):
+    # --- combinators: anyof / oneof / allof / noneof -----------------
+    for comb in ("anyof", "oneof", "allof", "noneof"):
         if comb not in fr:
             continue
         alts = fr[comb]
         if not isinstance(alts, (list, tuple)) or not alts:
             raise SchemaError(f"{comb} for field {path!r} must be a non-empty list")
         oks = [_alternative_ok(col, alt, length_fn) for alt in alts]
-        if comb == "anyof":
-            any_ok = oks[0]
-            for o in oks[1:]:
-                any_ok = any_ok | o
-            rules.append(CompiledRule(path, "anyof", _null_gate(col, ~any_ok), col))
-        else:
-            n_ok = oks[0].cast("int")
-            for o in oks[1:]:
-                n_ok = n_ok + o.cast("int")
-            rules.append(CompiledRule(path, "oneof", _null_gate(col, n_ok != F.lit(1)), col))
+        n_ok = oks[0].cast("int")
+        for o in oks[1:]:
+            n_ok = n_ok + o.cast("int")
+        violated = {
+            "anyof": n_ok == F.lit(0),
+            "oneof": n_ok != F.lit(1),
+            "allof": n_ok != F.lit(len(oks)),
+            "noneof": n_ok != F.lit(0),
+        }[comb]
+        rules.append(CompiledRule(path, comb, _null_gate(col, violated), col))
 
     # --- nested: schema over struct/map subfields --------------------
     if "schema" in fr:
@@ -555,6 +636,12 @@ def _py_value_violations(v: Any, fr: dict[str, Any]) -> list[str]:
         out.append("allowed")
     if "forbidden" in fr and v in fr["forbidden"]:
         out.append("forbidden")
+    if "contains" in fr:
+        req = fr["contains"]
+        if not isinstance(req, (list, tuple, set)):
+            req = [req]
+        if any(x not in v for x in req):
+            out.append("contains")
     if "min" in fr and v < fr["min"]:
         out.append("min")
     if "max" in fr and v > fr["max"]:
@@ -623,15 +710,41 @@ def python_validate(
                 ok = bool(fn(pd.Series([v])).iloc[0])
                 if not ok:
                     out.append((path, f"vcheck:{fr['vcheck']}", v))
-            for comb in ("anyof", "oneof"):
+            if "excludes" in fr:
+                exc = fr["excludes"]
+                if isinstance(exc, str):
+                    exc = [exc]
+                if any(scope.get(e) is not None for e in exc):
+                    out.append((path, "excludes", v))
+            if isinstance(v, dict):
+                for mrule, elems in (
+                    ("keysrules", list(v.keys())),
+                    ("valuesrules", list(v.values())),
+                ):
+                    if mrule not in fr:
+                        continue
+                    seen_m: list[str] = []
+                    for e in elems:
+                        if e is None:
+                            continue
+                        for rname in _py_value_violations(e, fr[mrule]):
+                            if rname not in seen_m:
+                                seen_m.append(rname)
+                    for rname in seen_m:
+                        out.append((path, f"{mrule}.{rname}", v))
+            for comb in ("anyof", "oneof", "allof", "noneof"):
                 if comb in fr:
                     n_ok = sum(
                         1 for alt in fr[comb] if not _py_value_violations(v, alt)
                     )
-                    if comb == "anyof" and n_ok == 0:
-                        out.append((path, "anyof", v))
-                    if comb == "oneof" and n_ok != 1:
-                        out.append((path, "oneof", v))
+                    hit = {
+                        "anyof": n_ok == 0,
+                        "oneof": n_ok != 1,
+                        "allof": n_ok != len(fr[comb]),
+                        "noneof": n_ok != 0,
+                    }[comb]
+                    if hit:
+                        out.append((path, comb, v))
             if "schema" in fr and isinstance(v, dict):
                 out.extend(
                     python_validate(v, fr["schema"], _prefix=path + ".", _parent=v)

@@ -304,3 +304,92 @@ def test_nested_unknown_subfield_is_schema_error(spark):
 def test_vcheck_inside_items_raises():
     with pytest.raises(SchemaError):
         compile_schema({"l": {"items": {"vcheck": "printable"}}})
+
+
+# ---------------------------------------------------------------------------
+# extended Cerberus vocabulary: contains / excludes / keysrules /
+# valuesrules / allof / noneof
+# ---------------------------------------------------------------------------
+
+
+def _twin_check(spark, rows, ddl, rules):
+    """Spark violations ≡ python-twin violations on the same fixture."""
+    df = spark.createDataFrame(rows, ddl)
+    got = sorted(
+        (r.id, r.field, r.rule)
+        for r in validate(df, rules, key_cols=["id"]).violations().collect()
+    )
+    cols = [f.split(":")[0].strip() for f in ddl.split(",")]
+    cols = [c.split(" ")[0] for c in cols]
+    twin = sorted(
+        (row[0], f, rule)
+        for row in rows
+        for f, rule, _ in python_validate(dict(zip(cols, row)), rules)
+    )
+    assert got == twin, (got, twin)
+    return got
+
+
+def test_contains_rule_on_arrays(spark):
+    rows = [
+        (0, ["system", "user", "assistant"]),
+        (1, ["user", "assistant"]),          # missing system
+        (2, ["system"]),                     # missing user
+        (3, None),                           # null passes (null-gate)
+        (4, []),
+    ]
+    got = _twin_check(
+        spark, rows, "id int, roles array<string>",
+        {"roles": {"type": "list", "contains": ["system", "user"]}},
+    )
+    assert got == [(1, "roles", "contains"), (2, "roles", "contains"),
+                   (4, "roles", "contains")]
+
+
+def test_excludes_rule_mutual_exclusion(spark):
+    rows = [
+        (0, "t1", None),   # ok: only tool set
+        (1, None, "e1"),   # ok: only error set
+        (2, "t2", "e2"),   # violation: both present
+        (3, None, None),   # ok
+    ]
+    rules = {"tool": {"type": "string", "nullable": True, "excludes": "error"},
+             "error": {"type": "string", "nullable": True}}
+    got = _twin_check(spark, rows, "id int, tool string, error string", rules)
+    assert got == [(2, "tool", "excludes")]
+
+
+def test_keysrules_valuesrules_on_maps(spark):
+    rows = [
+        (0, {"temp": "0.7", "seed": "42"}),
+        (1, {"Temp": "0.7"}),               # key violates regex
+        (2, {"seed": ""}),                  # value violates empty
+        (3, None),
+        (4, {}),
+    ]
+    rules = {
+        "params": {
+            "type": "dict",
+            "keysrules": {"regex": "[a-z_]+"},
+            "valuesrules": {"empty": False},
+        }
+    }
+    got = _twin_check(spark, rows, "id int, params map<string,string>", rules)
+    assert got == [(1, "params", "keysrules.regex"), (2, "params", "valuesrules.empty")]
+
+
+def test_allof_noneof_combinators(spark):
+    rows = [(0, 15), (1, 5), (2, 50), (3, None)]
+    allof = {"v": {"type": "integer", "allof": [{"min": 10}, {"max": 20}]}}
+    noneof = {"v": {"type": "integer", "noneof": [{"min": 100}, {"max": 9}]}}
+    got_all = _twin_check(spark, rows, "id int, v int", allof)
+    assert got_all == [(1, "v", "allof"), (2, "v", "allof")]
+    got_none = _twin_check(spark, rows, "id int, v int", noneof)
+    assert got_none == [(1, "v", "noneof")]
+
+
+def test_extended_vocab_unknown_rules_still_rejected(spark):
+    with pytest.raises(SchemaError):
+        compile_schema({"x": {"keysrules": {"schema": {}}}})
+    with pytest.raises(SchemaError):
+        compile_schema({"x": {"allof": []}})
