@@ -275,3 +275,16 @@ def test_mad_outliers_no_window_over_table(spark):
     plan = plan_of(outliers_mad(df, "v", ["g"]))
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_fuzzy_join_never_nested_loop(spark):
+    """edit1_pairs must stay an equi-join on the deletion variant —
+    the quadratic theta join it replaces plans as
+    BroadcastNestedLoopJoin/CartesianProduct."""
+    from cerberus_spark.operators.fuzzy import edit1_pairs
+
+    df = spark.createDataFrame([(1, "abcd"), (2, "abce")], "id long, k string")
+    plan = plan_of(edit1_pairs(df, "id", "k"))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "levenshtein" in plan, plan  # the exact verify stage is present
