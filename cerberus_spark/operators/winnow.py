@@ -180,3 +180,88 @@ def winnow_candidates(
         ).alias("p")
     ).select("p.id_a", "p.id_b")
     return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_fp"))
+
+
+def remove_shared_spans(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_run: int = 50,
+) -> DataFrame:
+    """The substring-REMOVAL step of Lee et al. 2022: for every
+    candidate pair, cut from the HIGHER-id document every verbatim run
+    of ≥ ``min_run`` chars it shares with the lower-id partner (the
+    lower id keeps its copy — same canonical-survivor convention as
+    ``dedup_clusters``).  Output: all input columns with ``text_col``
+    rewritten, plus ``n_cut_chars``.
+
+    Scale shape: candidate pairs (from :func:`winnow_candidates` —
+    already capped and tiny relative to the corpus) are joined to the
+    two texts (two hash joins), exact shared runs come from an Arrow
+    ``applyInPandas`` per victim document (SequenceMatcher per pair —
+    quadratic only in DOCUMENT length, never corpus size), intervals
+    from multiple partners merge per victim, and one final left join
+    rewrites only the affected documents.  Documents in no pair are
+    untouched and never enter the pair-side shuffles.
+
+    No SQL oracle by design (SequenceMatcher's block decomposition is
+    library-specific); the guarantee tests plant shared runs and check
+    exact cut boundaries instead.
+    """
+    import pandas as pd
+
+    t = docs.select(F.col(id_col).alias("_jid"), F.col(text_col).alias("_jtext"))
+    joined = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("_keep"),
+            F.greatest("id_a", "id_b").alias("_victim"),
+        )
+        .distinct()
+        .join(t.withColumnRenamed("_jid", "_keep").withColumnRenamed("_jtext", "_keep_text"), "_keep")
+        .join(t.withColumnRenamed("_jid", "_victim").withColumnRenamed("_jtext", "_victim_text"), "_victim")
+    )
+
+    def cut(pdf: pd.DataFrame) -> pd.DataFrame:
+        from difflib import SequenceMatcher
+
+        victim_id = pdf["_victim"].iloc[0]
+        text = pdf["_victim_text"].iloc[0]
+        intervals: list[tuple[int, int]] = []
+        for keep_text in pdf["_keep_text"]:
+            if keep_text is None or text is None:
+                continue
+            sm = SequenceMatcher(None, keep_text, text, autojunk=False)
+            for m in sm.get_matching_blocks():
+                if m.size >= min_run:
+                    intervals.append((m.b, m.b + m.size))
+        if not intervals or text is None:
+            return pd.DataFrame({"_victim": [victim_id], "_new_text": [text], "n_cut_chars": [0]})
+        intervals.sort()
+        merged = [list(intervals[0])]
+        for lo, hi in intervals[1:]:
+            if lo <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], hi)
+            else:
+                merged.append([lo, hi])
+        out, prev = [], 0
+        for lo, hi in merged:
+            out.append(text[prev:lo])
+            prev = hi
+        out.append(text[prev:])
+        new_text = "".join(out)
+        return pd.DataFrame(
+            {"_victim": [victim_id], "_new_text": [new_text],
+             "n_cut_chars": [len(text) - len(new_text)]}
+        )
+
+    id_t = docs.schema[id_col].dataType.simpleString()
+    cuts = joined.groupBy("_victim").applyInPandas(
+        cut, schema=f"_victim {id_t}, _new_text string, n_cut_chars long"
+    )
+    return (
+        docs.join(cuts, docs[id_col] == cuts["_victim"], "left")
+        .withColumn(text_col, F.coalesce("_new_text", F.col(text_col)))
+        .withColumn("n_cut_chars", F.coalesce("n_cut_chars", F.lit(0)))
+        .drop("_victim", "_new_text")
+    )

@@ -108,3 +108,85 @@ def test_bucket_cap_drops_degenerate_bucket(spark):
     fps = winnow_fingerprints(df, "text", "doc_id", g=G, w=W)
     assert winnow_candidates(fps, "doc_id", bucket_cap=10).count() == 0
     assert winnow_candidates(fps, "doc_id").count() == 30 * 29 // 2
+
+
+def test_remove_shared_spans_cuts_planted_run(spark):
+    from cerberus_spark.operators.winnow import remove_shared_spans
+
+    # boundary chars chosen so nothing adjacent to the run is shared —
+    # SequenceMatcher cuts the MAXIMAL shared block, so incidental
+    # boundary overlap would widen the cut
+    run = "S" * 60  # planted shared run, above min_run
+    docs = spark.createDataFrame(
+        [
+            (1, "alphaX" + run + "Yomega"),
+            (2, "leadP" + run + "Qend"),
+            (3, "untouched bystander document"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in remove_shared_spans(docs, pairs, "text", "doc_id", min_run=50).collect()}
+    # lower id keeps its copy
+    assert run in out[1].text and out[1].n_cut_chars == 0
+    # higher id loses exactly the shared run
+    assert run not in out[2].text
+    assert out[2].text == "leadPQend"
+    assert out[2].n_cut_chars == 60
+    # bystander untouched
+    assert out[3].text == "untouched bystander document" and out[3].n_cut_chars == 0
+
+
+def test_remove_shared_spans_below_min_run_untouched(spark):
+    from cerberus_spark.operators.winnow import remove_shared_spans
+
+    shared = "short shared bit"
+    docs = spark.createDataFrame(
+        [(1, "aa " + shared + " bb"), (2, "cc " + shared + " dd")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = {r.doc_id: r.text for r in remove_shared_spans(docs, pairs, "text", "doc_id", min_run=50).collect()}
+    assert out[2] == "cc " + shared + " dd"
+
+
+def test_remove_shared_spans_merges_multiple_partners(spark):
+    from cerberus_spark.operators.winnow import remove_shared_spans
+
+    r1, r2 = "A" * 55, "B" * 55
+    docs = spark.createDataFrame(
+        [
+            (1, "x" + r1 + "y"),
+            (2, "p" + r2 + "q"),
+            (3, "0" + r1 + "1" + r2 + "2"),  # boundary chars all distinct
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r for r in remove_shared_spans(docs, pairs, "text", "doc_id", min_run=50).collect()}
+    assert out[3].text == "012"
+    assert out[3].n_cut_chars == 110
+    assert out[1].n_cut_chars == 0 and out[2].n_cut_chars == 0
+
+
+def test_remove_shared_spans_end_to_end_with_candidates(spark):
+    """Full winnow pipeline: fingerprints -> capped candidates -> span
+    removal; the planted run survives in the keeper only."""
+    from cerberus_spark.operators.winnow import (
+        remove_shared_spans,
+        winnow_candidates,
+        winnow_fingerprints,
+    )
+
+    run = "the exact duplicated span payload goes right here!"
+    docs = spark.createDataFrame(
+        [
+            (10, "first document intro " + run + " and a closing"),
+            (20, "second doc opening " + run + " plus an ending"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, "text", "doc_id", g=G, w=W)
+    pairs = winnow_candidates(fps, "doc_id")
+    out = {r.doc_id: r.text for r in remove_shared_spans(docs, pairs, "text", "doc_id", min_run=40).collect()}
+    assert run in out[10] and run not in out[20]
