@@ -266,3 +266,38 @@ def unigram_logprob_scores(
         (-F.avg(logp)).alias("unigram_nll"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def normalize_unicode(col, form: str = "NFC", strip_controls: bool = True):
+    """Unicode-normalize a text column (Arrow pandas_udf —
+    ``unicodedata.normalize`` has no Catalyst equivalent) and
+    optionally strip C0/C1 control characters (keeping \\t \\n \\r).
+
+    The canonical first step of every web-corpus text pipeline: the
+    SAME grapheme can arrive composed (U+00E9) or decomposed
+    (e + U+0301), and exact/MinHash/winnowing dedup all treat those as
+    DIFFERENT bytes unless normalized first.  NFC agreement with
+    DuckDB's ``nfc_normalize`` is pytest-locked, so normalized
+    fingerprints stay cross-engine comparable.  NULL in -> NULL out.
+    """
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm(s):  # (pd.Series) -> pd.Series; hints omitted — Spark 4
+        # resolves string annotations and pandas isn't module-level here
+        import re
+        import unicodedata
+
+        # category Cc is exactly U+0000-001F + U+007F-009F; keep \t\n\r
+        ctrl = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f]") if strip_controls else None
+
+        def one(v):
+            if v is None:
+                return None
+            out = unicodedata.normalize(form, v)
+            return ctrl.sub("", out) if ctrl else out
+
+        return s.map(one)
+
+    udf = F.pandas_udf(_norm, "string")
+    return udf(F.col(col) if isinstance(col, str) else col)

@@ -178,3 +178,78 @@ def test_unigram_scoring_join_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_unicode_nfc_and_controls(spark):
+    from cerberus_spark.functions.text import normalize_unicode
+
+    decomposed = "caf" + "é"          # NFD é
+    composed = "café"                  # NFC é
+    rows = [
+        (0, decomposed),
+        (1, composed),
+        (2, "tab\tkeeps\nnewline\rcr\x00null\x1besc\x85nel"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r.id: r.n for r in df.select("id", normalize_unicode("t").alias("n")).collect()}
+    assert got[0] == composed == got[1]      # NFD -> NFC, idempotent on NFC
+    assert got[2] == "tab\tkeeps\nnewline\rcr" + "null" + "esc" + "nel"
+    assert got[3] is None
+
+
+def test_normalize_unicode_matches_duckdb_nfc(spark):
+    """Cross-engine lock: our NFC (sans control-strip) must byte-match
+    DuckDB's nfc_normalize on mixed composed/decomposed/ligature text."""
+    import duckdb
+
+    from cerberus_spark.functions.text import normalize_unicode
+
+    samples = [
+        "éclair",           # decomposed accent
+        "éclair",            # composed
+        "ẛ̣",           # long s with dot — multi-step composition
+        "Å",                # A + ring -> Å
+        "ﬁle",               # fi ligature (NFC keeps; NFKC would split)
+        "plain ascii",
+    ]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "id int, t string")
+    got = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_unicode("t", strip_controls=False).alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(samples):
+        want = con.execute("SELECT nfc_normalize(?)", [s]).fetchone()[0]
+        assert got[i] == want, (i, s)
+
+
+def test_normalize_unicode_unifies_dedup_fingerprints(spark):
+    """The motivating property: composed and decomposed spellings of
+    the SAME text must hash identically after normalization."""
+    from cerberus_spark.functions.text import normalize_unicode
+
+    df = spark.createDataFrame(
+        [(0, "résumé text"), (1, "résumé text")],
+        "id int, t string",
+    )
+    fps = df.select(F.md5(normalize_unicode("t")).alias("fp")).collect()
+    assert fps[0].fp == fps[1].fp
+    raw = df.select(F.md5("t").alias("fp")).collect()
+    assert raw[0].fp != raw[1].fp  # without normalization they differ
+
+
+def test_normalize_unicode_bad_form_raises(spark):
+    import pytest as _pytest
+
+    from cerberus_spark.functions.text import normalize_unicode
+
+    with _pytest.raises(ValueError):
+        normalize_unicode("t", form="NFX")
