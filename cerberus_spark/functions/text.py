@@ -301,3 +301,41 @@ def normalize_unicode(col, form: str = "NFC", strip_controls: bool = True):
 
     udf = F.pandas_udf(_norm, "string")
     return udf(F.col(col) if isinstance(col, str) else col)
+
+
+def gopher_filter_report(
+    col: Column,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_dup_word_milli: int = 300,
+    max_top_word_milli: int = 200,
+    max_dup_2gram_milli: int = 200,
+    min_quality_milli: int = 500,
+) -> Column:
+    """Composite Gopher-style keep/drop decision as a struct column
+    ``(keep boolean, reasons array<string>)`` — the standard documented
+    quality gate assembled from this module's individually oracle-gated
+    signals (token budget, word/2-gram repetition permilles, integer
+    quality score).  Thresholds default to the published Gopher-rule
+    ballpark and are parameters, not policy.
+
+    Pure Catalyst composition — evaluating the report costs the same
+    single projection pass as any one signal; ``reasons`` names every
+    failed gate so corpus triage can aggregate drop causes
+    (``explode(reasons)`` → groupBy) instead of re-running filters.
+    """
+    ntok = token_count_ws(col)
+    checks = [
+        ("too_short", ntok < min_tokens),
+        ("too_long", ntok > max_tokens),
+        ("dup_words", dup_word_milli(col) > max_dup_word_milli),
+        ("top_word_dominates", top_word_milli(col) > max_top_word_milli),
+        ("dup_2grams", dup_2gram_milli(col) > max_dup_2gram_milli),
+        ("low_quality", quality_score_milli(col) < min_quality_milli),
+    ]
+    reasons = F.array_compact(
+        F.array(*[F.when(pred, F.lit(name)) for name, pred in checks])
+    )
+    return F.struct(
+        (F.size(reasons) == 0).alias("keep"), reasons.alias("reasons")
+    )

@@ -253,3 +253,33 @@ def test_normalize_unicode_bad_form_raises(spark):
 
     with _pytest.raises(ValueError):
         normalize_unicode("t", form="NFX")
+
+
+def test_gopher_filter_report(spark):
+    from cerberus_spark.functions.text import gopher_filter_report
+
+    good = (
+        "this is a reasonably long and varied document about the engine "
+        "which keeps going with many different words and some structure "
+        "so that repetition ratios stay low and the stopword mix is sane "
+        "while the total token count clears the minimum threshold easily "
+        "because a few extra clauses of ordinary prose push the counter "
+        "comfortably past fifty whitespace separated tokens in this text"
+    )
+    repeats = ("spam " * 80).strip()
+    rows = [(0, good), (1, "tiny"), (2, repeats)]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {
+        r.id: (r.rep.keep, list(r.rep.reasons))
+        for r in df.select("id", gopher_filter_report(F.col("t")).alias("rep")).collect()
+    }
+    assert got[0] == (True, [])
+    assert got[1][0] is False and "too_short" in got[1][1]
+    assert got[2][0] is False
+    assert {"dup_words", "top_word_dominates"} <= set(got[2][1])
+    # triage shape: reasons explode/aggregate without re-running filters
+    counts = (
+        df.select(F.explode(gopher_filter_report(F.col("t")).getField("reasons")).alias("r"))
+        .groupBy("r").count().collect()
+    )
+    assert {r.r for r in counts} >= {"too_short", "dup_words"}
