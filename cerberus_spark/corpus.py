@@ -1,0 +1,99 @@
+"""Corpus cleaning pipeline: the training-data counterpart of
+``pipeline.run_full_validation`` — normalize → quality-gate → exact
+dedup → near-dedup → keep/drop report, each stage an already
+oracle-gated operator from this repo, composed lazily (nothing runs
+until the caller writes/collects).
+
+Stage shapes at 100 TB (all documented on the underlying operators):
+normalization + the Gopher gate are ONE projection pass; exact dedup is
+one md5-fingerprint shuffle; MinHash signatures are Arrow map-side;
+LSH candidates shuffle once on capped band buckets; clustering moves
+only candidate edges.  Documents never fan out — the only
+corpus-sized shuffles are the two dedup group-bys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    quality_kwargs: dict | None = None,
+    minhash_kwargs: dict | None = None,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = 200,
+) -> dict[str, DataFrame]:
+    """Returns lazy DataFrames:
+
+    - ``kept``: surviving documents (normalized ``text_col``) — passed
+      the quality gate, not an exact dup, not a near-dup cluster loser;
+    - ``dropped``: (id, stage, reason) one row per dropped document;
+    - ``report``: (stage, reason, n_docs) aggregate drop causes.
+
+    Survivor convention: smallest id in every exact/near-dup group
+    keeps (same as ``dedup_clusters``).
+    """
+    from cerberus_spark.functions.text import gopher_filter_report, normalize_unicode
+    from cerberus_spark.operators.dedup import (
+        md5_i64,
+        minhash_dup_candidates,
+        minhash_signatures,
+        normalize_text,
+    )
+    from cerberus_spark.operators.graph import dedup_clusters
+
+    base = docs
+    if normalize:
+        base = base.withColumn(text_col, normalize_unicode(text_col))
+
+    # --- stage 1: quality gate (one projection) ----------------------
+    gated = base.withColumn(
+        "_gate", gopher_filter_report(F.col(text_col), **(quality_kwargs or {}))
+    )
+    quality_drops = gated.filter(~F.col("_gate.keep")).select(
+        F.col(id_col).alias("id"),
+        F.lit("quality").alias("stage"),
+        F.explode("_gate.reasons").alias("reason"),
+    )
+    survivors = gated.filter(F.col("_gate.keep")).drop("_gate")
+
+    # --- stage 2: exact dedup (one fingerprint shuffle) --------------
+    fp = md5_i64(normalize_text(F.col(text_col)))
+    with_fp = survivors.withColumn("_fp", fp)
+    keepers = with_fp.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    exact_tagged = with_fp.join(keepers, "_fp")
+    exact_drops = exact_tagged.filter(F.col(id_col) != F.col("_keep_id")).select(
+        F.col(id_col).alias("id"),
+        F.lit("exact_dup").alias("stage"),
+        F.concat(F.lit("dup_of_"), F.col("_keep_id").cast("string")).alias("reason"),
+    )
+    exact_kept = exact_tagged.filter(F.col(id_col) == F.col("_keep_id")).drop(
+        "_fp", "_keep_id"
+    )
+
+    # --- stage 3: near-dedup (MinHash -> LSH -> clusters) ------------
+    sigs = minhash_signatures(
+        exact_kept, text_col, id_col, **(minhash_kwargs or {"num_hashes": 16, "shingle_k": 3})
+    )
+    cand = minhash_dup_candidates(
+        sigs, id_col, bands=bands, rows_per_band=rows_per_band, bucket_cap=bucket_cap
+    )
+    clusters = dedup_clusters(cand)
+    losers = clusters.filter(~F.col("keep")).select(
+        F.col("id"),
+        F.lit("near_dup").alias("stage"),
+        F.concat(F.lit("cluster_"), F.col("cluster_id").cast("string")).alias("reason"),
+    )
+    kept = exact_kept.join(
+        losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+    dropped = quality_drops.unionByName(exact_drops).unionByName(losers)
+    report = dropped.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
+    return {"kept": kept, "dropped": dropped, "report": report}

@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus-cleaning pipeline
+(normalize → Gopher quality gate → exact dedup → MinHash near-dedup):
+
+    spark-submit --master <cluster> --py-files dist/cerberus_spark.zip \
+        jobs/corpus_job.py --input <docs parquet> --sink <out dir>
+
+Writes ``<sink>/kept`` (surviving docs, normalized text),
+``<sink>/dropped`` (id, stage, reason) and ``<sink>/report``
+(stage, reason, n_docs), and prints one JSON status line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet dir of documents")
+    p.add_argument("--sink", required=True, help="output dir (kept/dropped/report)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--no-normalize", action="store_true",
+                   help="skip unicode NFC normalization")
+    p.add_argument("--min-tokens", type=int, default=50)
+    p.add_argument("--bucket-cap", type=int, default=200,
+                   help="LSH band-bucket cap (degenerate-corpus guard)")
+    p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from cerberus_spark.session import get_spark
+
+        spark = get_spark(parallelism=args.parallelism, app_name="cerberus_corpus")
+
+    from cerberus_spark.corpus import clean_corpus
+
+    docs = spark.read.parquet(args.input)
+    outs = clean_corpus(
+        docs,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        normalize=not args.no_normalize,
+        quality_kwargs={"min_tokens": args.min_tokens},
+        bucket_cap=args.bucket_cap,
+    )
+    outs["kept"].write.mode("overwrite").parquet(f"{args.sink}/kept")
+    outs["dropped"].write.mode("overwrite").parquet(f"{args.sink}/dropped")
+    outs["report"].write.mode("overwrite").parquet(f"{args.sink}/report")
+
+    n_in = docs.count()
+    n_kept = spark.read.parquet(f"{args.sink}/kept").count()
+    print(json.dumps({"status": "ok", "n_input": n_in, "n_kept": n_kept,
+                      "n_dropped": n_in - n_kept}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

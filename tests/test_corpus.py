@@ -1,0 +1,85 @@
+"""Corpus-cleaning pipeline e2e: quality gate, exact dedup, near-dedup,
+drop report, CLI job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cerberus_spark.corpus import clean_corpus
+
+BASE = (
+    "this is a reasonably long and varied document about the engine "
+    "which keeps going with many different words and some structure "
+    "so that repetition ratios stay low and the stopword mix is sane "
+    "while the total token count clears the minimum threshold easily "
+    "because a few extra clauses of ordinary prose push the counter "
+    "comfortably past fifty whitespace separated tokens in this text"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),                                   # keeper
+        (2, BASE),                                   # exact dup of 1
+        (3, BASE.replace("engine", "motor")),        # near dup of 1
+        (4, "tiny"),                                 # fails quality gate
+        (5, ("spam " * 80).strip()),                 # boilerplate
+        (6, "an entirely different report on harbor logistics and the "
+            "seasonal movement of cargo vessels between northern ports "
+            "where scheduling constraints and berth availability interact "
+            "with tide tables and customs inspection windows to determine "
+            "the realistic throughput a terminal operator can promise for "
+            "any given week of the high season without overtime crews"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_corpus_stages(spark, corpus):
+    outs = clean_corpus(corpus, minhash_kwargs={"num_hashes": 32, "shingle_k": 3},
+                        bands=8, rows_per_band=4)
+    kept = sorted(r.doc_id for r in outs["kept"].collect())
+    dropped = {(r.id, r.stage) for r in outs["dropped"].collect()}
+    assert 1 in kept                      # canonical survivor
+    assert (2, "exact_dup") in dropped
+    assert (3, "near_dup") in dropped
+    assert (4, "quality") in dropped and (5, "quality") in dropped
+    assert 6 in kept                      # heavily rewritten -> kept
+    rep = {(r.stage, r.reason): r.n_docs for r in outs["report"].collect()}
+    assert rep[("exact_dup", "dup_of_1")] == 1
+    assert rep[("quality", "too_short")] >= 1
+
+
+def test_clean_corpus_normalization_unifies_dups(spark):
+    # composed vs decomposed é: exact dup ONLY after NFC normalization
+    a = BASE + " café"          # composed
+    b = BASE + " café"         # e + combining acute (NFD)
+    assert a != b
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    outs = clean_corpus(df)
+    assert sorted(r.doc_id for r in outs["kept"].collect()) == [1]
+    assert [(r.id, r.stage) for r in outs["dropped"].collect()] == [(2, "exact_dup")]
+    # without normalization the spellings differ by one token: the pair
+    # degrades from EXACT dup to a MinHash near-dup (weaker evidence,
+    # later stage) — which is precisely why normalization goes first
+    outs_raw = clean_corpus(df, normalize=False)
+    assert [(r.id, r.stage) for r in outs_raw["dropped"].collect()] == [(2, "near_dup")]
+
+
+def test_corpus_job_cli(spark, corpus, tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_job import main
+
+    inp = str(tmp_path / "docs")
+    corpus.write.mode("overwrite").parquet(inp)
+    sink = str(tmp_path / "out")
+    rc = main(["--input", inp, "--sink", sink])
+    assert rc == 0
+    kept = spark.read.parquet(f"{sink}/kept")
+    assert kept.count() >= 2 and "text" in kept.columns
+    rep = spark.read.parquet(f"{sink}/report")
+    assert rep.filter(F.col("stage") == "quality").count() >= 1
