@@ -28,6 +28,10 @@ def clean_corpus(
     bands: int = 4,
     rows_per_band: int = 4,
     bucket_cap: int | None = 200,
+    substring_removal: bool = False,
+    winnow_g: int = 24,
+    winnow_w: int = 8,
+    min_run: int = 50,
 ) -> dict[str, DataFrame]:
     """Returns lazy DataFrames:
 
@@ -93,6 +97,22 @@ def clean_corpus(
     kept = exact_kept.join(
         losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
     )
+
+    # --- stage 4 (optional): substring span removal ------------------
+    # (Lee et al. 2022's substring pass: docs that SURVIVED doc-level
+    # dedup may still share long verbatim runs — cut them from the
+    # higher id; winnowing guarantees any shared run ≥ g+w−1 chars
+    # produces a candidate pair)
+    if substring_removal:
+        from cerberus_spark.operators.winnow import (
+            remove_shared_spans,
+            winnow_candidates,
+            winnow_fingerprints,
+        )
+
+        fps = winnow_fingerprints(kept, text_col, id_col, g=winnow_g, w=winnow_w)
+        span_pairs = winnow_candidates(fps, id_col, bucket_cap=bucket_cap)
+        kept = remove_shared_spans(kept, span_pairs, text_col, id_col, min_run=min_run)
 
     dropped = quality_drops.unionByName(exact_drops).unionByName(losers)
     report = dropped.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n_docs"))

@@ -33,6 +33,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--min-tokens", type=int, default=50)
     p.add_argument("--bucket-cap", type=int, default=200,
                    help="LSH band-bucket cap (degenerate-corpus guard)")
+    p.add_argument("--substring-removal", action="store_true",
+                   help="also cut shared verbatim runs >= --min-run chars "
+                   "from the later duplicate (winnowing + span removal)")
+    p.add_argument("--min-run", type=int, default=50)
     p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
     args = p.parse_args(argv)
 
@@ -56,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
         normalize=not args.no_normalize,
         quality_kwargs={"min_tokens": args.min_tokens},
         bucket_cap=args.bucket_cap,
+        substring_removal=args.substring_removal,
+        min_run=args.min_run,
     )
     outs["kept"].write.mode("overwrite").parquet(f"{args.sink}/kept")
     outs["dropped"].write.mode("overwrite").parquet(f"{args.sink}/dropped")

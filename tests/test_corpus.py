@@ -83,3 +83,27 @@ def test_corpus_job_cli(spark, corpus, tmp_path):
     assert kept.count() >= 2 and "text" in kept.columns
     rep = spark.read.parquet(f"{sink}/report")
     assert rep.filter(F.col("stage") == "quality").count() >= 1
+
+
+def test_clean_corpus_substring_removal_stage(spark):
+    run = "R" * 80
+    other = (
+        "a separate account of riverside maintenance schedules and the "
+        "rotation of inspection crews across pumping stations during "
+        "the long dry season when water allocations tighten everywhere "
+        "and every district manager files competing priority requests "
+        "until the regional board publishes the final reconciled plan "
+        "that governs which canals receive flow in which calendar week"
+    )
+    docs = spark.createDataFrame(
+        [(1, BASE + " x" + run + "y end"), (2, other + " p" + run + "q tail")],
+        "doc_id long, text string",
+    )
+    outs = clean_corpus(
+        docs, substring_removal=True, winnow_g=8, winnow_w=4, min_run=60
+    )
+    kept = {r.doc_id: r for r in outs["kept"].collect()}
+    assert set(kept) == {1, 2}            # different docs: both survive doc-level dedup
+    assert run in kept[1].text            # lower id keeps the run
+    assert run not in kept[2].text        # higher id had it cut
+    assert kept[2].n_cut_chars >= 80
