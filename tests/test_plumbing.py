@@ -229,3 +229,53 @@ def test_streaming_drift_monitor_pluggable_chi2(spark, tmp_path):
     for w in exp:
         assert abs(got[w][0] - exp[w][0]) < 1e-6
         assert abs(got[w][1] - exp[w][1]) < 1e-6
+
+
+def test_resize_images_plumbing(spark):
+    from cerberus_spark.functions.multimodal import resize_images, synthesize_media
+
+    media = synthesize_media(spark, 60)
+    out = resize_images(media, 32, 24)
+    rows = out.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images > 0
+    for r in rows:
+        assert (r.width, r.height) == (32, 24)
+        assert len(r.payload) == 32 * 24
+    # deterministic across runs and partitionings
+    again = resize_images(media.repartition(7), 32, 24).collect()
+    assert {r.media_id: bytes(r.payload) for r in rows} == {
+        r.media_id: bytes(r.payload) for r in again
+    }
+
+
+def test_sample_frames_plumbing(spark):
+    from cerberus_spark.functions.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(spark, 60)
+    out = sample_frames(media, every_ms=10_000).collect()
+    vids = {
+        r.media_id: r.duration_ms for r in media.filter("kind = 'video'").collect()
+    }
+    got = {}
+    for r in out:
+        got.setdefault(r.media_id, []).append((r.frame_idx, r.ts_ms, bytes(r.payload)))
+    assert set(got) == set(vids)
+    for mid, frames in got.items():
+        n_expected = max(1, vids[mid] // 10_000)
+        assert len(frames) == n_expected
+        idxs = sorted(i for i, _, _ in frames)
+        assert idxs == list(range(n_expected))          # dense frame index
+        assert len({f for _, _, f in frames}) == len(frames)  # distinct frames
+
+
+def test_real_decode_env_gate_raises(spark, monkeypatch):
+    from cerberus_spark.functions.multimodal import resize_images, synthesize_media
+
+    monkeypatch.setenv("CERBERUS_SPARK_REAL_DECODE", "1")
+    media = synthesize_media(spark, 6)
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
+        resize_images(media, 8, 8).collect()
