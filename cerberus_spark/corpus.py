@@ -10,6 +10,12 @@ one md5-fingerprint shuffle; MinHash signatures are Arrow map-side;
 LSH candidates shuffle once on capped band buckets; clustering moves
 only candidate edges.  Documents never fan out — the only
 corpus-sized shuffles are the two dedup group-bys.
+
+Scan count: the staged lineage re-reads the input ~4x (gate, exact
+self-join, signatures, final anti-join) — the right default at 100 TB,
+where caching the corpus is costlier than parquet re-reads.  On a
+cluster with cheap storage headroom, persist ``kept`` between stages or
+write stage outputs as tables to trade storage for scans.
 """
 
 from __future__ import annotations
