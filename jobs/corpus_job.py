@@ -31,6 +31,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-normalize", action="store_true",
                    help="skip unicode NFC normalization")
     p.add_argument("--min-tokens", type=int, default=50)
+    p.add_argument("--max-dup-word-milli", type=int, default=300,
+                   help="repetition gates are tuned for natural text; "
+                   "raise on synthetic/templated corpora")
+    p.add_argument("--max-top-word-milli", type=int, default=200)
+    p.add_argument("--min-quality-milli", type=int, default=500)
     p.add_argument("--bucket-cap", type=int, default=200,
                    help="LSH band-bucket cap (degenerate-corpus guard)")
     p.add_argument("--substring-removal", action="store_true",
@@ -58,7 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         text_col=args.text_col,
         id_col=args.id_col,
         normalize=not args.no_normalize,
-        quality_kwargs={"min_tokens": args.min_tokens},
+        quality_kwargs={
+            "min_tokens": args.min_tokens,
+            "max_dup_word_milli": args.max_dup_word_milli,
+            "max_top_word_milli": args.max_top_word_milli,
+            "min_quality_milli": args.min_quality_milli,
+        },
         bucket_cap=args.bucket_cap,
         substring_removal=args.substring_removal,
         min_run=args.min_run,
