@@ -68,22 +68,22 @@ def clean_corpus(
     gated = base.withColumn(
         "_gate", gopher_filter_report(F.col(text_col), **(quality_kwargs or {}))
     )
+    if checkpoint_stages:
+        # the lineage BRANCHES below (kept vs quality_drops, then the
+        # exact-dedup self-join, signatures, and the final anti-join):
+        # without a checkpoint the normalize+gate expressions re-execute
+        # once per branch (~4 scans — measured 200s -> 45.6s, 4.4x, on a
+        # 1M-doc corpus at local[32]).  Same localCheckpoint pattern as
+        # connected_components' edge cache; disable when the gated
+        # corpus exceeds cluster storage and re-scanning parquet is the
+        # cheaper trade.
+        gated = gated.localCheckpoint(eager=False)
     quality_drops = gated.filter(~F.col("_gate.keep")).select(
         F.col(id_col).alias("id"),
         F.lit("quality").alias("stage"),
         F.explode("_gate.reasons").alias("reason"),
     )
     survivors = gated.filter(F.col("_gate.keep")).drop("_gate")
-    if checkpoint_stages:
-        # the lineage BRANCHES below (self-join for exact dedup, then
-        # signatures, then the final anti-join): without a checkpoint
-        # the normalize+gate expressions re-execute once per branch
-        # (~4 scans — measured 200s -> 45.6s, 4.4x, on a 1M-doc corpus
-        # at local[32]).  Same localCheckpoint pattern as
-        # connected_components' edge cache; disable when the gated
-        # corpus exceeds cluster storage and re-scanning parquet is
-        # cheaper than materializing.
-        survivors = survivors.localCheckpoint(eager=False)
 
     # --- stage 2: exact dedup (one fingerprint shuffle) --------------
     fp = md5_i64(normalize_text(F.col(text_col)))
@@ -107,6 +107,11 @@ def clean_corpus(
         sigs, id_col, bands=bands, rows_per_band=rows_per_band, bucket_cap=bucket_cap
     )
     clusters = dedup_clusters(cand)
+    if checkpoint_stages:
+        # clusters is |clustered docs|-sized and feeds BOTH the final
+        # anti-join and the drop report — checkpoint so the whole
+        # signature+LSH chain doesn't re-run per consumer
+        clusters = clusters.localCheckpoint(eager=False)
     losers = clusters.filter(~F.col("keep")).select(
         F.col("id"),
         F.lit("near_dup").alias("stage"),
