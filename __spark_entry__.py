@@ -24,6 +24,7 @@ from cerberus_spark.checks.uniqueness import uniqueness_violations
 from cerberus_spark.functions.text import (
     quality_score_milli,
     token_count_bpeish,
+    token_count_robust_sql,
     token_count_ws,
     lang_id,
 )
@@ -752,6 +753,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(emb, threshold=0.4, centroids=centroids)
 
 
+def q_cosine_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF near-dup pairs WITH the bucket-size cap (similarity.py
+    bucket_cap): buckets larger than 35 vectors are dropped whole
+    before the pair self-join — closes the last uncapped candidate
+    generator (a degenerate centroid otherwise reintroduces the n²
+    pair explosion the LSH caps bound).  At sf0.01 the census is
+    20-42 per bucket, so cap=35 genuinely drops the 4 hot buckets."""
+    from cerberus_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = spread(_t(spark, sf_dir, "embeddings"))
+    centroids = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    return cosine_neardup_pairs(
+        emb, threshold=0.4, centroids=centroids, bucket_cap=35
+    )
+
+
 def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming path: the SAME compiled rule set applied to
     a readStream over the events table (availableNow -> memory sink),
@@ -1107,12 +1126,21 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training-batch assembly: contiguous-fill
     packing of documents into 512-token packs inside 8 hash buckets
     (one shuffle + one local sort; true greedy packing is sequential
-    and cannot distribute — semantics documented in operators/pack.py)."""
+    and cannot distribute — semantics documented in operators/pack.py).
+
+    r4: token counting switched to token_count_robust (shared explicit
+    hex character-class pattern, match-count semantics, SQL generated
+    from the same constant) — the r3 driver gate hash-mismatched this
+    pair while an identical local replica passed, so every
+    engine-version-sensitive construct (``\\s`` definition,
+    split/string_split_regex trailing-empty semantics, ``//`` integer
+    division) is eliminated from both sides."""
+    from cerberus_spark.functions.text import token_count_robust
     from cerberus_spark.operators.pack import pack_documents
 
     docs = _t(spark, sf_dir, "documents")
     packed = pack_documents(
-        docs, "doc_id", token_count_ws(F.col("text")), budget=512, n_buckets=8
+        docs, "doc_id", token_count_robust(F.col("text")), budget=512, n_buckets=8
     )
     return packed.groupBy("bucket", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("sum_tokens")
@@ -1840,6 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_flag": q_semi_join_flag,
         "extract_props_k": q_extract_props_k,
         "embedding_neardup": q_embedding_neardup,
+        "cosine_neardup_capped": q_cosine_neardup_capped,
         "multimodal_features": q_multimodal_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -3107,6 +3136,36 @@ WITH cent AS (
 )
 SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
 """,
+        "cosine_neardup_capped": """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 16
+), scored_all AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_dot_product(v.embedding, c.centroid) /
+               (sqrt(list_dot_product(v.embedding, v.embedding)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+  FROM embeddings v CROSS JOIN cent c
+), assign0 AS (
+  SELECT vec_id, centroid_id AS bucket FROM (
+    SELECT vec_id, centroid_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM scored_all
+  ) WHERE rn = 1
+), ok AS (
+  SELECT bucket FROM assign0 GROUP BY bucket HAVING count(*) <= 35
+), assign AS (
+  SELECT a0.vec_id, a0.bucket FROM assign0 a0 JOIN ok USING (bucket)
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(ea.embedding, eb.embedding) /
+               (sqrt(list_dot_product(ea.embedding, ea.embedding)) *
+                sqrt(list_dot_product(eb.embedding, eb.embedding))), 4) AS sim
+  FROM assign a JOIN assign b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.4
+""",
     }
     out["dedup_clusters"] = f"""
 WITH RECURSIVE cand AS ({minhash_cand_sql}),
@@ -3214,16 +3273,20 @@ WHERE {ev_bucket} < CASE event_type
     ELSE 0 END
 GROUP BY event_type
 """
-    n_tok = "CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    # n_tokens generated from the SAME pattern constant as the Spark
+    # side (token_count_robust) — engines cannot drift; pack_id mirrors
+    # Spark's floor(double division) bit-for-bit instead of `//`.
+    n_tok = token_count_robust_sql("text")
     out["pack_documents"] = f"""
 WITH toks AS (
-  SELECT doc_id, ({n_tok})::BIGINT AS n_tokens,
+  SELECT doc_id, {n_tok} AS n_tokens,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS bucket
   FROM documents
 ), packed AS (
   SELECT bucket, n_tokens,
-         COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS pack_id
+         CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id
   FROM toks
 )
 SELECT bucket, pack_id, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS sum_tokens

@@ -26,6 +26,17 @@ LANG_MARKERS: dict[str, list[str]] = {
 # pre-tokenizers (GPT-2-style contractions omitted for SQL parity).
 BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# One maximal run of non-whitespace = one token.  The class is spelled
+# with explicit hex escapes (TAB LF VT FF CR SPACE) instead of ``\s`` so
+# Java regex (Spark) and RE2 (DuckDB) — whose ``\s`` definitions and
+# split()/string_split_regex trailing-empty semantics have diverged
+# across engine versions — interpret the SAME pattern string
+# identically.  Oracle SQL is generated from this constant
+# (``len(regexp_extract_all(col, PATTERN))``) so the engines cannot
+# drift.  Match-counting also sidesteps trim()/blank-string edge cases
+# entirely: whitespace-only text counts 0 with no special case.
+TOKEN_RUN_PATTERN = r"[^\x09\x0a\x0b\x0c\x0d\x20]+"
+
 
 def token_count_ws(col: Column) -> Column:
     """Whitespace token count of trimmed text (0 for empty/blank)."""
@@ -33,6 +44,21 @@ def token_count_ws(col: Column) -> Column:
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
+
+
+def token_count_robust(col: Column) -> Column:
+    """Engine-portable whitespace token count: number of maximal
+    non-whitespace runs (``TOKEN_RUN_PATTERN`` matches).  Equals
+    ``token_count_ws`` on well-formed text but has no split/trim edge
+    cases, so it is the counter of choice for cross-engine oracle pairs
+    (see token_count_robust_sql for the generated DuckDB twin)."""
+    return F.regexp_count(col, F.lit(TOKEN_RUN_PATTERN)).cast("long")
+
+
+def token_count_robust_sql(expr: str) -> str:
+    """DuckDB twin of :func:`token_count_robust`, generated from the
+    same pattern constant so the two engines cannot drift."""
+    return f"len(regexp_extract_all({expr}, '{TOKEN_RUN_PATTERN}'))::BIGINT"
 
 
 def token_count_bpeish(col: Column) -> Column:

@@ -113,6 +113,7 @@ def cosine_neardup_pairs(
     threshold: float = 0.9,
     centroids: DataFrame | None = None,
     round_to: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, sim) with
     sim ≥ threshold, id_a < id_b.
@@ -123,6 +124,18 @@ def cosine_neardup_pairs(
     coarse-quantized once and only same-bucket pairs are scored; the
     pair join becomes an equi-join on bucket (the 100 TB path; recall
     trades off with #centroids exactly as in ivf_topk).
+
+    ``bucket_cap`` (IVF path only) is the same scale guard as
+    ``bucket_cap`` in minhash_dup_candidates / df_cap in
+    ngram_jaccard_pairs: a degenerate centroid that attracts d
+    near-identical vectors — a boilerplate/templated corpus — makes
+    the bucket self-join emit d·(d−1)/2 pairs from ONE bucket,
+    quadratic skew no partitioning fixes.  With a cap, buckets larger
+    than ``bucket_cap`` are dropped whole BEFORE the pair join; the
+    bucket census is |centroids| rows, so the guard costs one
+    broadcast-joined count, no extra corpus shuffle.  Dropped buckets
+    mean dropped recall for the vectors inside them — callers wanting
+    that population can re-shard the hot bucket with finer centroids.
     """
     # precompute norms ONCE per vector: per-pair cosine() would walk
     # each array 3x (dot + 2 norms) in interpreted HOF eval — on an
@@ -138,6 +151,14 @@ def cosine_neardup_pairs(
         joined = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
     else:
         assign = ivf_assign(vectors, centroids, id_col, vec_col)
+        if bucket_cap is not None:
+            ok = (
+                assign.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("_bsz"))
+                .filter(F.col("_bsz") <= bucket_cap)
+                .select("bucket")
+            )
+            assign = assign.join(F.broadcast(ok), "bucket")
         a = a.join(assign.withColumnRenamed(id_col, "id_a"), "id_a")
         b = b.join(assign.withColumnRenamed(id_col, "id_b"), "id_b")
         joined = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))

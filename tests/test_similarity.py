@@ -73,3 +73,32 @@ def test_ivf_recall_reasonable(spark, emb_df):
     for r in got:
         assert r.neighbor_id != r.query_id
         assert -1.0 <= r.sim <= 1.0
+
+
+def test_ivf_neardup_bucket_cap_bounds_degenerate_corpus(spark):
+    """1,000 near-identical embeddings (a templated corpus) all land on
+    one centroid; uncapped, the bucket self-join emits ~d*(d-1)/2 =
+    ~500k pairs from ONE bucket — the exact skew the LSH caps bound.
+    With bucket_cap the hot bucket is dropped whole BEFORE the join,
+    while pairs in small buckets survive untouched."""
+    from cerberus_spark.operators.similarity import cosine_neardup_pairs
+
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    # 1,000 vectors hugging centroid 0 (distinct tails keep ids unique
+    # but cosine ~1), plus 4 vectors hugging centroid 1
+    rows = [(i, [1.0, 0.0, 0.001 * (i % 7), 0.0]) for i in range(1000)]
+    rows += [(1000 + j, [0.01 * j, 1.0, 0.0, 0.0]) for j in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = spark.createDataFrame(
+        [(0, e0), (1, e1)], "centroid_id long, centroid array<float>"
+    )
+    capped = cosine_neardup_pairs(
+        df, threshold=0.9, centroids=centroids, bucket_cap=10
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in capped}
+    # hot bucket (1,000 members) dropped whole: no pair touches it
+    assert all(a >= 1000 and b >= 1000 for a, b in pairs)
+    # the 4-member bucket (< cap) is untouched: its near-dup pairs survive
+    assert (1000, 1001) in pairs
+    assert len(pairs) <= 6
