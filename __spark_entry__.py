@@ -1012,6 +1012,57 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py:normalize_unicode,
+    Arrow pandas_udf over unicodedata) vs DuckDB's nfc_normalize — the
+    canonical first step of every web-corpus pipeline, promoted from
+    the r3 in-test byte-match to a full contract pair.  md5 of the
+    normalized text locks the exact bytes; strip_controls=False so both
+    engines compute pure NFC."""
+    from cerberus_spark.functions.text import normalize_unicode
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_unicode("text", strip_controls=False)).alias("nfc_md5"),
+    )
+
+
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style keep/drop gate (functions/text.py:
+    gopher_filter_report): one projection pass assembles the token
+    budget, repetition permilles, and quality score into
+    (keep, reasons) — the oracle SQL is built from the SAME permille
+    expressions as the individually gated doc_quality/doc_repetition
+    pairs, reason order fixed by the checks list."""
+    from cerberus_spark.functions.text import gopher_filter_report
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    rep = gopher_filter_report(F.col("text"))
+    return docs.select(
+        "doc_id",
+        rep.getField("keep").alias("keep"),
+        F.array_join(rep.getField("reasons"), ",").alias("reasons"),
+    )
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed interval merging (operators/winnow.py:
+    merge_intervals) — the mergeable step of remove_shared_spans
+    cross-engine proven on deterministic intervals derived from events
+    (lo = floor(value), hi = lo + 1 + event_id % 19, keyed by user):
+    gaps-and-islands, one shuffle + two window passes."""
+    from cerberus_spark.operators.winnow import merge_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.floor(F.col("value")).cast("long").alias("lo"),
+        (F.floor(F.col("value")).cast("long") + 1 + F.col("event_id") % 19).alias("hi"),
+    )
+    return merge_intervals(iv, ["user_id"], "lo", "hi")
+
+
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
@@ -1824,6 +1875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_sketch": q_topk_sketch,
         "contamination": q_contamination,
         "doc_repetition": q_doc_repetition,
+        "normalize_nfc": q_normalize_nfc,
+        "gopher_gate": q_gopher_gate,
+        "merge_intervals": q_merge_intervals,
         "mixture_resample": q_mixture_resample,
         "validate_nested": q_validate_nested,
         "sketch_quantiles": q_sketch_quantiles,
@@ -3340,6 +3394,64 @@ SELECT wc.doc_id,
        CASE WHEN n2 > 0 THEN CAST(floor(1000 * (n2 - nd2) / n2) AS BIGINT) END AS dup_2gram_milli
 FROM wc JOIN g ON wc.doc_id = g.doc_id
 """
+    out["normalize_nfc"] = (
+        "SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5 FROM documents"
+    )
+    # same permille/quality expressions as the doc_quality and
+    # doc_repetition pairs; reason order mirrors the Spark checks list
+    out["gopher_gate"] = f"""
+WITH w AS (SELECT doc_id, text, {_WORDS} AS w FROM documents),
+ex AS (SELECT doc_id, s FROM w, unnest(w.w) AS t(s)),
+wc AS (
+  SELECT doc_id, count(*) AS n, count(DISTINCT s) AS nd, max(c) AS topc
+  FROM (SELECT doc_id, s, count(*) OVER (PARTITION BY doc_id, s) AS c FROM ex)
+  GROUP BY doc_id
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END AS n2,
+         len(list_distinct(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS nd2
+  FROM w
+), m AS (
+  SELECT wc.doc_id,
+         CAST(floor(1000 * (n - nd) / n) AS BIGINT) AS dupw,
+         CAST(floor(1000 * topc / n) AS BIGINT) AS topw,
+         CASE WHEN n2 > 0 THEN CAST(floor(1000 * (n2 - nd2) / n2) AS BIGINT) END AS dup2
+  FROM wc JOIN g ON wc.doc_id = g.doc_id
+), q AS (
+  SELECT doc_id, ({n_tok_ws})::BIGINT AS ntok, {quality} AS qual FROM documents
+), r AS (
+  SELECT q.doc_id,
+         array_to_string(list_filter([
+           CASE WHEN ntok < 50 THEN 'too_short' END,
+           CASE WHEN ntok > 100000 THEN 'too_long' END,
+           CASE WHEN dupw > 300 THEN 'dup_words' END,
+           CASE WHEN topw > 200 THEN 'top_word_dominates' END,
+           CASE WHEN dup2 > 200 THEN 'dup_2grams' END,
+           CASE WHEN qual < 500 THEN 'low_quality' END
+         ], x -> x IS NOT NULL), ',') AS reasons
+  FROM q JOIN m ON q.doc_id = m.doc_id
+)
+SELECT doc_id, (reasons = '') AS keep, reasons FROM r
+"""
+    out["merge_intervals"] = """
+WITH iv AS (
+  SELECT user_id, CAST(floor(value) AS BIGINT) AS lo,
+         CAST(floor(value) AS BIGINT) + 1 + event_id % 19 AS hi
+  FROM events
+), s AS (
+  SELECT user_id, lo, hi,
+         max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), i AS (
+  SELECT user_id, lo, hi,
+         sum(CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY lo, hi ROWS UNBOUNDED PRECEDING) AS isl
+  FROM s
+)
+SELECT user_id, min(lo) AS lo, max(hi) AS hi, count(*)::BIGINT AS n_merged
+FROM i GROUP BY user_id, isl
+"""
     mix_bucket = (
         "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|mixture'), 1, 15))::BIGINT % 10000"
     )
@@ -3363,24 +3475,32 @@ WHERE {mix_bucket} < k.thr
 """
     seq_allowed = ", ".join("'" + a + "\x1f" + b + "'" for a, b in SEQ_ALLOWED)
     seq_first = ", ".join("'" + s + "'" for s in SEQ_ALLOWED_FIRST)
+    # null-gated like checks/sequence.py: NULL states report
+    # 'null_state', transitions are judged only between two non-NULL
+    # states, 'first row' is rn=1 (not prev IS NULL) — engine-identical
+    # even if NULL event_types ever enter the data
     out["sequence_violations"] = f"""
 WITH o AS (
   SELECT user_id, event_id, event_type, ts,
          lag(event_type) OVER w AS prev_state,
-         lag(ts) OVER w AS prev_ts
+         lag(ts) OVER w AS prev_ts,
+         row_number() OVER w AS rn
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT user_id, event_id, event_type, prev_state, 'transition' AS rule
 FROM o
-WHERE prev_state IS NOT NULL
+WHERE prev_state IS NOT NULL AND event_type IS NOT NULL
   AND (prev_state || chr(31) || event_type) NOT IN ({seq_allowed})
+UNION ALL
+SELECT user_id, event_id, event_type, prev_state, 'null_state' AS rule
+FROM o WHERE event_type IS NULL
 UNION ALL
 SELECT user_id, event_id, event_type, prev_state, 'ts_regression' AS rule
 FROM o WHERE ts < prev_ts
 UNION ALL
 SELECT user_id, event_id, event_type, prev_state, 'first_state' AS rule
-FROM o WHERE prev_state IS NULL AND event_type NOT IN ({seq_first})
+FROM o WHERE rn = 1 AND event_type NOT IN ({seq_first})
 """
     out["lineitem_contiguity"] = """
 SELECT l_orderkey AS conv,
@@ -3388,7 +3508,11 @@ SELECT l_orderkey AS conv,
        min(l_linenumber)::BIGINT AS min_idx,
        max(l_linenumber)::BIGINT AS max_idx,
        (count(*) - count(DISTINCT l_linenumber))::BIGINT AS n_dup_idx,
-       (max(l_linenumber) - 1 + 1 - count(DISTINCT l_linenumber))::BIGINT AS n_missing
+       greatest(0, max(l_linenumber) - 1 + 1
+                - count(DISTINCT CASE WHEN l_linenumber >= 1 THEN l_linenumber END))::BIGINT
+         AS n_missing,
+       count(DISTINCT CASE WHEN l_linenumber < 1 THEN l_linenumber END)::BIGINT
+         AS n_below_start
 FROM lineitem
 GROUP BY l_orderkey
 """

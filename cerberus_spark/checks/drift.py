@@ -277,10 +277,11 @@ def chi_square_drift(
 
     Same scale shape as :func:`drift_report`: histograms are
     |bins|-sized aggregates, the join is broadcast, one final 1-row agg.
-    Bins absent from the baseline contribute their full observed count
-    to chi2 via the Yates-free convention exp = EPS (reported
-    separately as ``unseen_count`` so a new category is visible even
-    when chi2 is dominated by large bins).
+    Bins absent from the baseline (exp = 0) are EXCLUDED from chi2 and
+    g_stat — their chi2 term would be unbounded/arbitrary under any
+    epsilon convention — and are surfaced solely through
+    ``unseen_count``, so a new category is visible even when chi2 is
+    dominated by large bins (treat unseen_count > 0 as its own alarm).
     """
     b = baseline_hist.groupBy("bin").agg(F.sum("count").alias("b_count"))
     c = current_hist.groupBy("bin").agg(F.sum("count").alias("c_count"))

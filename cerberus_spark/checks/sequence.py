@@ -46,21 +46,29 @@ def contiguity_report(
     df: DataFrame, conv_col: str, idx_col: str, start: int = 0
 ) -> DataFrame:
     """Per-conversation index-density report:
-    (conv, n_rows, min_idx, max_idx, n_dup_idx, n_missing).
+    (conv, n_rows, min_idx, max_idx, n_dup_idx, n_missing,
+    n_below_start).
 
-    ``n_missing`` counts indexes absent from ``start..max_idx``
-    (so a conversation starting late shows its leading gap);
+    ``n_missing`` counts indexes absent from ``start..max_idx`` (so a
+    conversation starting late shows its leading gap) — the density
+    term counts only indexes INSIDE ``[start, max_idx]``, so stray
+    below-start indexes can neither mask a gap nor drive the count
+    negative; they are surfaced separately as ``n_below_start``.
     ``n_dup_idx`` counts rows beyond the first per index.  One
     partial-agg'd shuffle keyed on the conversation.
     """
+    idx = F.col(idx_col)
+    in_range_distinct = F.countDistinct(F.when(idx >= start, idx))
     return df.groupBy(F.col(conv_col).alias("conv")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min(idx_col).cast("long").alias("min_idx"),
         F.max(idx_col).cast("long").alias("max_idx"),
         (F.count(F.lit(1)) - F.countDistinct(idx_col)).alias("n_dup_idx"),
-        (F.max(idx_col) - F.lit(start) + 1 - F.countDistinct(idx_col))
-        .cast("long")
-        .alias("n_missing"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.max(idx_col) - F.lit(start) + 1 - in_range_distinct).cast("long"),
+        ).alias("n_missing"),
+        F.countDistinct(F.when(idx < start, idx)).cast("long").alias("n_below_start"),
     )
 
 
@@ -68,9 +76,13 @@ def contiguity_violations(
     df: DataFrame, conv_col: str, idx_col: str, start: int = 0
 ) -> DataFrame:
     """Conversations whose index set is not exactly dense from
-    ``start``: any gap, duplicate, or late start."""
+    ``start``: any gap, duplicate, below-start index, or late start."""
     rep = contiguity_report(df, conv_col, idx_col, start)
-    return rep.filter((F.col("n_dup_idx") > 0) | (F.col("n_missing") > 0))
+    return rep.filter(
+        (F.col("n_dup_idx") > 0)
+        | (F.col("n_missing") > 0)
+        | (F.col("n_below_start") > 0)
+    )
 
 
 def _w(conv_col: str, order_by: list[str]) -> Window:
@@ -100,24 +112,37 @@ def transition_violations(
     """Rows whose (prev_state -> state) transition is not in
     ``allowed`` (plus, when ``allowed_first`` is given, first rows
     whose state is not in it): input row + ``prev_state`` + ``rule``
-    ('transition' or 'first_state').  One shuffle."""
+    ('transition', 'null_state' or 'first_state').  One shuffle.
+
+    NULL handling is explicit so the semantics match the DuckDB oracle
+    even on data with NULL states: a NULL state is its own
+    ``null_state`` violation (Spark's concat_ws would silently skip the
+    NULL operand and mis-flag it 'transition' while SQL's ``||`` yields
+    NULL and silently drops the row — neither is right); transitions
+    are only judged between two non-NULL states; and 'first row' means
+    row_number()==1, not prev IS NULL (a mid-conversation NULL state
+    must not make its successor look like a first row).
+    """
     w = _w(conv_col, order_by)
     prev = F.lag(state_col).over(w)
-    trans_ok = F.concat_ws(_SEP, prev, F.col(state_col)).isin(
+    rn = F.row_number().over(w)
+    state = F.col(state_col)
+    trans_ok = F.concat_ws(_SEP, prev, state).isin(
         [a + _SEP + b for a, b in sorted(allowed)]
     )
-    bad_trans = prev.isNotNull() & ~trans_ok
+    bad_trans = prev.isNotNull() & state.isNotNull() & ~trans_ok
+    bad_null = state.isNull()
     if allowed_first is not None:
-        bad_first = prev.isNull() & ~F.col(state_col).isin(sorted(allowed_first))
+        bad_first = (rn == 1) & ~state.isin(sorted(allowed_first))
     else:
         bad_first = F.lit(False)
     return (
         df.withColumn("prev_state", prev)
         .withColumn(
             "rule",
-            F.when(bad_trans, F.lit("transition")).when(
-                bad_first, F.lit("first_state")
-            ),
+            F.when(bad_trans, F.lit("transition"))
+            .when(bad_null, F.lit("null_state"))
+            .when(bad_first, F.lit("first_state")),
         )
         .filter(F.col("rule").isNotNull())
     )
@@ -134,37 +159,50 @@ def sequence_violations(
 ) -> DataFrame:
     """All sequence rules in ONE window pass: emits one row per
     (input row, violated rule) with ``rule`` in {'transition',
-    'first_state', 'ts_regression'}.
+    'null_state', 'first_state', 'ts_regression'}.
 
-    lag(state) and lag(ts) come from the same window sort; the
-    per-row rule names are collected into a conditional array and
+    lag(state), lag(ts) and row_number come from the same window sort;
+    the per-row rule names are collected into a conditional array and
     exploded, so a row violating two rules yields two output rows and
     clean rows yield none — still exactly one exchange.
+
+    NULL-state semantics match :func:`transition_violations` (and the
+    DuckDB oracle): NULL states report ``null_state``; transitions are
+    judged only between two non-NULL states; 'first row' is
+    row_number()==1, so a mid-conversation NULL state does not make its
+    successor look like a conversation start.
     """
     w = _w(conv_col, order_by)
-    # materialize both lags in one Window pass FIRST: generator
-    # expressions (explode) cannot embed window functions, and as plain
-    # attributes the rules below stay a simple projection above it
-    base = df.withColumn("prev_state", F.lag(state_col).over(w)).withColumn(
-        "_prev_ts", F.lag(ts_col).over(w)
+    # materialize the window attributes in one Window pass FIRST:
+    # generator expressions (explode) cannot embed window functions,
+    # and as plain attributes the rules below stay a simple projection
+    base = (
+        df.withColumn("prev_state", F.lag(state_col).over(w))
+        .withColumn("_prev_ts", F.lag(ts_col).over(w))
+        .withColumn("_rn", F.row_number().over(w))
     )
     prev_state, prev_ts = F.col("prev_state"), F.col("_prev_ts")
-    trans_ok = F.concat_ws(_SEP, prev_state, F.col(state_col)).isin(
+    state = F.col(state_col)
+    trans_ok = F.concat_ws(_SEP, prev_state, state).isin(
         [a + _SEP + b for a, b in sorted(allowed)]
     )
     checks = [
-        F.when(prev_state.isNotNull() & ~trans_ok, F.lit("transition")),
+        F.when(
+            prev_state.isNotNull() & state.isNotNull() & ~trans_ok,
+            F.lit("transition"),
+        ),
+        F.when(state.isNull(), F.lit("null_state")),
         F.when(F.col(ts_col) < prev_ts, F.lit("ts_regression")),
     ]
     if allowed_first is not None:
         checks.append(
             F.when(
-                prev_state.isNull() & ~F.col(state_col).isin(sorted(allowed_first)),
+                (F.col("_rn") == 1) & ~state.isin(sorted(allowed_first)),
                 F.lit("first_state"),
             )
         )
     rules = F.filter(F.array(*checks), lambda x: x.isNotNull())
-    return base.withColumn("rule", F.explode(rules)).drop("_prev_ts")
+    return base.withColumn("rule", F.explode(rules)).drop("_prev_ts", "_rn")
 
 
 def reindex_turns(

@@ -57,7 +57,12 @@ def _hash_pair(values) -> tuple:
 
     arr = np.asarray([str(v) for v in values], dtype=object)
     h1 = pd.util.hash_array(arr, hash_key="cerberusbloomh1_", categorize=False)
-    # odd step: full-period double hashing over the power-of-two-free m
+    # odd step: guarantees h2 is coprime with m's factors of 2 only —
+    # m is rounded to a multiple of 64, so an h2 sharing one of m's odd
+    # factors still shortens the probe cycle and the fp_rate bound is
+    # approximate (slightly pessimistic m would fix it via a prime m;
+    # not worth it: build and probe share the hash, so correctness —
+    # no false negatives — is unaffected, and the oracle is exact)
     h2 = pd.util.hash_array(arr, hash_key="cerberusbloomh2_", categorize=False) | np.uint64(1)
     return h1, h2
 

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Karp-Rabin base (odd, large; arithmetic wraps mod 2^64)
@@ -264,4 +264,49 @@ def remove_shared_spans(
         .withColumn(text_col, F.coalesce("_new_text", F.col(text_col)))
         .withColumn("n_cut_chars", F.coalesce("n_cut_chars", F.lit(0)))
         .drop("_victim", "_new_text")
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> DataFrame:
+    """Merge overlapping-or-touching ``[lo, hi)`` intervals per key —
+    the distributed formulation of the interval-merge step inside
+    :func:`remove_shared_spans` (where it runs per-victim in pandas
+    because each victim's spans already sit in one group).  Exposed as
+    a DataFrame operator so span bookkeeping can merge at corpus scale
+    and so the step is cross-engine provable (DuckDB twin in the
+    ``merge_intervals`` oracle pair).
+
+    Classic gaps-and-islands: ONE shuffle on the key, then two
+    partition-local window passes — running max of ``hi`` over
+    ``(lo, hi)`` order marks island starts (``lo`` beyond every
+    previous ``hi``), a running sum of the marks numbers the islands,
+    and a final group-by collapses each island to its envelope.
+    Touching intervals (``lo == prev hi``) merge, matching
+    ``remove_shared_spans``.  Output: key cols + ``lo``/``hi``
+    (envelope) + ``n_merged``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(lo_col).asc(), F.col(hi_col).asc()
+    )
+    prev_max = F.max(F.col(hi_col)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_start = F.when(prev_max.isNull() | (F.col(lo_col) > prev_max), 1).otherwise(0)
+    islands = df.withColumn(
+        "_island",
+        F.sum(is_start).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(*key_cols, "_island")
+        .agg(
+            F.min(lo_col).alias(lo_col),
+            F.max(hi_col).alias(hi_col),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .drop("_island")
     )

@@ -125,17 +125,25 @@ def stateful_sequence_check(
                     out["prev_state"].append(prev_state)
                     out["rule"].append(rule)
 
+                # null-state semantics mirror the batch twin
+                # (checks.sequence): NULL states are their own rule,
+                # transitions are judged only between two non-NULL
+                # states, and a successor of a NULL state is neither a
+                # transition nor a first row
                 if not started:
-                    if first is not None and st not in first:
+                    if first is not None and st is not None and st not in first:
                         emit("first_state")
                 else:
-                    # None states can never form an allowed pair (every
-                    # allowed string contains the separator) — same
-                    # outcome as the batch twin's concat_ws
-                    if (prev_state or "") + "\x1f" + (st or "") not in allow:
+                    if (
+                        prev_state is not None
+                        and st is not None
+                        and prev_state + "\x1f" + st not in allow
+                    ):
                         emit("transition")
                     if ts < prev_ts:
                         emit("ts_regression")
+                if st is None:
+                    emit("null_state")
                 prev_state, prev_ts, started = st, int(ts), True
             state.update((prev_state, prev_ts, started))
         if out["conv"]:  # NEVER yield empty frames (Arrow cast breaks)

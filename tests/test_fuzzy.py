@@ -80,3 +80,26 @@ def test_edit1_random_single_edits_always_found(spark):
     df = spark.createDataFrame(rows, "id long, k string")
     got = {(r.id_a, r.id_b) for r in edit1_pairs(df, "id", "k", bucket_cap=500).collect()}
     assert expected <= got, expected - got
+
+
+def test_edit1_pairs_max_len_boundary(spark):
+    """A max_len-char key and its one-insertion (max_len+1)-char
+    neighbor must pair: deletion variants are generated up to
+    max_len+1 so the exactness claim holds for every pair whose
+    shorter key is <= max_len."""
+    from cerberus_spark.operators.fuzzy import edit1_pairs
+
+    s64 = "a" * 30 + "b" * 34
+    s65 = s64[:30] + "X" + s64[30:]
+    s66 = s65[:10] + "Y" + s65[10:]
+    df = spark.createDataFrame(
+        [(1, s64), (2, s65), (3, s66)], "id long, key string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit1_pairs(df, "id", "key", bucket_cap=100).collect()
+    }
+    # 64<->65 straddles the boundary and must be found; 65<->66 has a
+    # 65-char shorter side (> max_len) — outside the guarantee and
+    # genuinely unmatchable via length-64..65 variants
+    assert (1, 2, 1) in got

@@ -33,14 +33,18 @@ BASE = 1_704_067_200
 
 @st.composite
 def conversations(draw):
-    """List of (conv, idx, state, ts_second) rows; ts unique per conv."""
+    """List of (conv, idx, state, ts_second) rows; ts unique per conv.
+    Indexes may dip below start (0) and states may be NULL, so the
+    null-state and below-start-density branches are exercised."""
     rows = []
     for c in range(draw(st.integers(min_value=1, max_value=4))):
         n = draw(st.integers(min_value=1, max_value=8))
         idxs = draw(
-            st.lists(st.integers(min_value=0, max_value=9), min_size=n, max_size=n)
+            st.lists(st.integers(min_value=-3, max_value=9), min_size=n, max_size=n)
         )
-        states = draw(st.lists(st.sampled_from(STATES), min_size=n, max_size=n))
+        states = draw(
+            st.lists(st.sampled_from(STATES + [None]), min_size=n, max_size=n)
+        )
         secs = draw(
             st.lists(
                 st.integers(min_value=0, max_value=999),
@@ -60,12 +64,20 @@ def py_sequence_violations(rows):
     out = []
     for conv, turns in by_conv.items():
         prev_state = prev_sec = None
-        for pos, (idx, sec, state) in enumerate(sorted(turns)):
+        for pos, (idx, sec, state) in enumerate(
+            sorted(turns, key=lambda t: (t[0], t[1]))
+        ):
+            if state is None:
+                out.append((conv, idx, "null_state"))
             if pos == 0:
-                if state not in FIRST:
+                if state is not None and state not in FIRST:
                     out.append((conv, idx, "first_state"))
             else:
-                if (prev_state, state) not in ALLOWED:
+                if (
+                    prev_state is not None
+                    and state is not None
+                    and (prev_state, state) not in ALLOWED
+                ):
                     out.append((conv, idx, "transition"))
                 if sec < prev_sec:
                     out.append((conv, idx, "ts_regression"))
@@ -73,18 +85,20 @@ def py_sequence_violations(rows):
     return sorted(out)
 
 
-def py_contiguity(rows):
+def py_contiguity(rows, start=0):
     by_conv: dict = {}
     for conv, idx, _, _ in rows:
         by_conv.setdefault(conv, []).append(idx)
     out = {}
     for conv, idxs in by_conv.items():
+        in_range = {i for i in idxs if i >= start}
         out[conv] = (
             len(idxs),
             min(idxs),
             max(idxs),
             len(idxs) - len(set(idxs)),
-            max(idxs) + 1 - len(set(idxs)),
+            max(0, max(idxs) - start + 1 - len(in_range)),
+            len({i for i in idxs if i < start}),
         )
     return out
 
@@ -123,7 +137,14 @@ def test_contiguity_report_matches_python(spark, rows):
         [(c, i) for c, i, _, _ in rows], "conv_id string, turn_idx int"
     )
     rep = {
-        r.conv: (r.n_rows, r.min_idx, r.max_idx, r.n_dup_idx, r.n_missing)
+        r.conv: (
+            r.n_rows,
+            r.min_idx,
+            r.max_idx,
+            r.n_dup_idx,
+            r.n_missing,
+            r.n_below_start,
+        )
         for r in contiguity_report(df, "conv_id", "turn_idx").collect()
     }
     assert rep == py_contiguity(rows)

@@ -190,3 +190,56 @@ def test_remove_shared_spans_end_to_end_with_candidates(spark):
     pairs = winnow_candidates(fps, "doc_id")
     out = {r.doc_id: r.text for r in remove_shared_spans(docs, pairs, "text", "doc_id", min_run=40).collect()}
     assert run in out[10] and run not in out[20]
+
+
+def _merge_naive(intervals):
+    """The remove_shared_spans cut() merge, verbatim semantics."""
+    if not intervals:
+        return []
+    intervals = sorted(intervals)
+    merged = [list(intervals[0])]
+    for lo, hi in intervals[1:]:
+        if lo <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [tuple(m) for m in merged]
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 60), st.integers(1, 25)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_merge_intervals_matches_pandas_merge(spark, raw):
+    """The distributed gaps-and-islands merge_intervals must agree with
+    the per-victim pandas merge inside remove_shared_spans.cut() on any
+    interval multiset (overlapping, touching, nested, duplicated)."""
+    from cerberus_spark.operators.winnow import merge_intervals
+
+    iv = [(lo, lo + w) for lo, w in raw]
+    df = spark.createDataFrame(
+        [("k", lo, hi) for lo, hi in iv], "key string, lo long, hi long"
+    )
+    got = sorted(
+        (r.lo, r.hi) for r in merge_intervals(df, ["key"], "lo", "hi").collect()
+    )
+    assert got == _merge_naive(iv)
+
+
+def test_merge_intervals_keys_independent(spark):
+    from cerberus_spark.operators.winnow import merge_intervals
+
+    df = spark.createDataFrame(
+        [("a", 0, 5), ("a", 5, 9), ("b", 0, 5), ("b", 6, 9)],
+        "key string, lo long, hi long",
+    )
+    rows = {
+        (r.key, r.lo, r.hi, r.n_merged)
+        for r in merge_intervals(df, ["key"], "lo", "hi").collect()
+    }
+    # touching merges within a key; the gap in b stays split
+    assert rows == {("a", 0, 9, 2), ("b", 0, 5, 1), ("b", 6, 9, 1)}
