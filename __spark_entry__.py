@@ -1842,62 +1842,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts (TPC-H shapes, pivot/cube, simple aggs) sit in the tail.
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
-        # --- new this round ---
-        "winnow_candidates": q_winnow_candidates,
-        "validate_extended": q_validate_extended,
-        "rule_suggestions": q_rule_suggestions,
-        "outliers_mad": q_outliers_mad,
-        "chi2_drift": q_chi2_drift,
-        "ks_drift": q_ks_drift,
-        "trim_budget": q_trim_budget,
-        "equidepth_hist": q_equidepth_hist,
-        "hopping_counts": q_hopping_counts,
-        "bloom_semi_join": q_bloom_semi_join,
-        "stream_hopping": q_stream_hopping,
-        "winnow_clusters": q_winnow_clusters,
-        "windowed_chi2": q_windowed_chi2,
-        "volume_anomaly": q_volume_anomaly,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "cap_per_domain": q_cap_per_domain,
-        "winsorize_value": q_winsorize_value,
-        "windowed_drift": q_windowed_drift,
-        "windowed_drift_value": q_windowed_drift_value,
-        "boilerplate_words": q_boilerplate_words,
-        "pii_redaction": q_pii_redaction,
-        "unigram_nll": q_unigram_nll,
-        "embedding_drift": q_embedding_drift,
-        "outliers_zscore": q_outliers_zscore,
-        "fd_violations": q_fd_violations,
-        "snapshot_diff": q_snapshot_diff,
+
+        # WINDOW ROTATION (r4): the driver gates the FIRST 50 entries.
+        # Priority: (a) pairs whose implementation changed since their
+        # last driver gate, (b) never-gated new pairs, (c) the 50 pairs
+        # last gated in r2 (ran on r2 code), oldest exposure first.
+        # Tail: r3-gated pairs on since-unchanged code, then the
+        # long-green TPC-H/pivot/cube stalwarts.  ALL 104 stay locally
+        # green via scripts/oracle_check.py every round.
+        "pack_documents": q_pack_documents,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
-        "reindex_turns": q_reindex_turns,
-        "topk_sketch": q_topk_sketch,
-        "contamination": q_contamination,
-        "doc_repetition": q_doc_repetition,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_neardup_capped": q_cosine_neardup_capped,
         "normalize_nfc": q_normalize_nfc,
         "gopher_gate": q_gopher_gate,
         "merge_intervals": q_merge_intervals,
-        "mixture_resample": q_mixture_resample,
-        "validate_nested": q_validate_nested,
-        "sketch_quantiles": q_sketch_quantiles,
-        "minhash_candidates_capped": q_minhash_candidates_capped,
-        "simhash_candidates_capped": q_simhash_candidates_capped,
-        # --- registered r2 but never driver-gated ---
-        "simhash_candidates": q_simhash_candidates,
-        "cosine_topk": q_cosine_topk,
-        "regex_alternation": q_regex_alternation,
-        "vcheck_json": q_vcheck_json,
-        "csv_dim_lookup": q_csv_dim_lookup,
-        "asof_enrich": q_asof_enrich,
-        "interval_join_campaigns": q_interval_join,
-        "hash_split": q_hash_split,
-        "leak_safe_split": q_leak_safe_split,
-        "stratified_sample": q_stratified_sample,
-        "pack_documents": q_pack_documents,
-        "vocab_stats": q_vocab_stats,
-        "stream_tumbling": q_stream_tumbling,
-        # --- driver-verified in r2 (CORRECTNESS_r02.json) ---
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -1921,8 +1882,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_label_counts": q_salted_label_counts,
         "semi_join_flag": q_semi_join_flag,
         "extract_props_k": q_extract_props_k,
-        "embedding_neardup": q_embedding_neardup,
-        "cosine_neardup_capped": q_cosine_neardup_capped,
         "multimodal_features": q_multimodal_features,
         "doc_quality": q_doc_quality,
         "lang_id": q_lang_id,
@@ -1934,15 +1893,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_capped": q_ngram_jaccard_capped,
         "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
-        # --- long-green tail (driver-verified r1+r2; still in local gate) ---
         "running_total": q_running_total,
         "tumbling_counts": q_tumbling_counts,
         "event_rollup": q_event_rollup,
         "pivot_counts": q_pivot_counts,
         "group_quantiles": q_group_quantiles,
-        "cube_counts": q_cube_counts,
         "recent_targets": q_recent_targets,
         "label_count_map": q_label_count_map,
+        "winnow_candidates": q_winnow_candidates,
+        "validate_extended": q_validate_extended,
+        "rule_suggestions": q_rule_suggestions,
+        "outliers_mad": q_outliers_mad,
+        "chi2_drift": q_chi2_drift,
+        "ks_drift": q_ks_drift,
+        "trim_budget": q_trim_budget,
+        "equidepth_hist": q_equidepth_hist,
+        "hopping_counts": q_hopping_counts,
+        "bloom_semi_join": q_bloom_semi_join,
+        "stream_hopping": q_stream_hopping,
+        "winnow_clusters": q_winnow_clusters,
+        "windowed_chi2": q_windowed_chi2,
+        "volume_anomaly": q_volume_anomaly,
+        "cap_per_domain": q_cap_per_domain,
+        "winsorize_value": q_winsorize_value,
+        "windowed_drift": q_windowed_drift,
+        "windowed_drift_value": q_windowed_drift_value,
+        "boilerplate_words": q_boilerplate_words,
+        "pii_redaction": q_pii_redaction,
+        "unigram_nll": q_unigram_nll,
+        "embedding_drift": q_embedding_drift,
+        "outliers_zscore": q_outliers_zscore,
+        "fd_violations": q_fd_violations,
+        "snapshot_diff": q_snapshot_diff,
+        "reindex_turns": q_reindex_turns,
+        "topk_sketch": q_topk_sketch,
+        "contamination": q_contamination,
+        "doc_repetition": q_doc_repetition,
+        "mixture_resample": q_mixture_resample,
+        "validate_nested": q_validate_nested,
+        "sketch_quantiles": q_sketch_quantiles,
+        "minhash_candidates_capped": q_minhash_candidates_capped,
+        "simhash_candidates_capped": q_simhash_candidates_capped,
+        "simhash_candidates": q_simhash_candidates,
+        "cosine_topk": q_cosine_topk,
+        "regex_alternation": q_regex_alternation,
+        "vcheck_json": q_vcheck_json,
+        "csv_dim_lookup": q_csv_dim_lookup,
+        "asof_enrich": q_asof_enrich,
+        "interval_join_campaigns": q_interval_join,
+        "hash_split": q_hash_split,
+        "leak_safe_split": q_leak_safe_split,
+        "stratified_sample": q_stratified_sample,
+        "vocab_stats": q_vocab_stats,
+        "stream_tumbling": q_stream_tumbling,
+        "cube_counts": q_cube_counts,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_top_revenue_orders": q3_top_revenue_orders,
         "q4_priority_exists": q4_priority_exists,
