@@ -47,6 +47,27 @@ def parse_sf(sf_dir: str) -> float:
         return 0.1
 
 
+def read_cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat, or None off-Linux.
+
+    Recorded alongside every run so a future reader can separate code
+    regressions from hypervisor-steal weather WITHOUT re-running (this
+    VM shows bursty 3-16%% steal; see BASELINE.md §BENCH history)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def steal_pct(before, after) -> float | None:
+    if before is None or after is None or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
+
+
 def bench_transcripts(spark, sf: float) -> dict:
     from cerberus_spark.pipeline import run_full_validation
     from cerberus_spark.sources.transcripts import generate_transcripts
@@ -79,16 +100,19 @@ def bench_transcripts(spark, sf: float) -> dict:
     # trials give a materially better chance of catching a quiet window
     # than three (identical code measured 4.5s and 10.5s best-of-3 in
     # adjacent hours purely on steal weather)
-    walls = []
+    walls, steals = [], []
     for _ in range(5):
+        s0 = read_cpu_ticks()
         t0 = time.perf_counter()
         run_full_validation(spark, df, sink_dir=os.path.join(TMP, "sink"))
         walls.append(time.perf_counter() - t0)
+        steals.append(steal_pct(s0, read_cpu_ticks()))
     wall = min(walls)
     return {
         "transcript_convs": n_convs,
         "transcript_turns": n_turns,
         "pipeline_runs_sec": [round(w, 3) for w in walls],
+        "pipeline_steal_pct": steals,
         "pipeline_sec": round(wall, 3),
         "turns_per_sec": round(n_turns / wall, 1),
     }
@@ -116,8 +140,10 @@ def main() -> None:
     spark = get_spark(parallelism=CPUS, app_name="cerberus_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    run_s0 = read_cpu_ticks()
     head = bench_transcripts(spark, sf)
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark)
+    run_steal = steal_pct(run_s0, read_cpu_ticks())
 
     shutil.rmtree(TMP, ignore_errors=True)
     result = {
@@ -129,6 +155,7 @@ def main() -> None:
         "cpus": CPUS,
         **head,
         "queries_total_sec": round(sum(queries.values()), 3),
+        "run_steal_pct": run_steal,
     }
     print(json.dumps(result))
 

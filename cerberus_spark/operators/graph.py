@@ -17,10 +17,17 @@ the shortcut is what makes chain-shaped accident graphs safe.
 Scale shape per round: one join (labels ⋈ edges, both keyed on node id)
 + one min-aggregate — shuffle-bounded by |edges|.  The loop runs on the
 DRIVER but only moves per-round CHANGE COUNTS (one long per action),
-never data.  ``localCheckpoint`` every round truncates the growing
-lineage/plan — the standard Spark idiom for iterative algorithms
-(GraphX/GraphFrames do the same internally); at cluster scale swap it
-for reliable ``checkpoint()`` on durable storage.
+never data.  Every round the labels are checkpointed to truncate the
+growing lineage/plan — the standard Spark idiom for iterative
+algorithms (GraphX/GraphFrames do the same internally).  Two modes:
+
+- default ``localCheckpoint()`` — executor-local blocks, zero setup;
+  right for local mode and short-lived jobs, but a LOST EXECUTOR kills
+  the truncated lineage mid-iteration on a real cluster;
+- ``checkpoint_dir=...`` — reliable ``checkpoint()`` to durable storage
+  (HDFS/S3); the loop survives executor loss, at the cost of one
+  write+read of the |nodes|-sized label table per round.  This is the
+  1000-executor setting.
 """
 
 from __future__ import annotations
@@ -34,24 +41,34 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``;
     cluster_id = smallest node id in the component (deterministic).
 
     Raises if the fixpoint is not reached within ``max_iters`` rounds —
     silent truncation would mislabel components.
+
+    ``checkpoint_dir``: when set, per-round lineage truncation uses
+    reliable ``checkpoint()`` into that directory (survives executor
+    loss — the cluster-scale mode) instead of ``localCheckpoint()``.
     """
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     # checkpoint the symmetric edge list FIRST so the (possibly very
     # expensive) upstream candidate-pair pipeline materializes exactly
     # once; labels then derive from the checkpointed edges
-    sym = (
+    sym = _ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .localCheckpoint()
     )
-    labels = (
+    labels = _ckpt(
         sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
-    ).localCheckpoint()
+    )
     for _ in range(max_iters):
         nb = sym.join(
             labels.select(F.col("id").alias("b"), F.col("lbl")), "b"
@@ -72,7 +89,8 @@ def connected_components(
                 "left",
             )
             .select("id", F.least("lbl", "lbl2").alias("lbl"))
-        ).localCheckpoint()
+        )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.join(
                 labels.select("id", F.col("lbl").alias("old")), "id"
@@ -89,12 +107,15 @@ def connected_components(
 
 
 def dedup_clusters(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b"
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(id, cluster_id, csize, keep) per clustered doc: components over
     the candidate pairs, cluster size, and the canonical-survivor flag
     (smallest id in the cluster — the row a dedup pass would keep)."""
-    cc = connected_components(edges, src, dst)
+    cc = connected_components(edges, src, dst, checkpoint_dir=checkpoint_dir)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     return cc.join(sizes, "cluster_id").select(
         "id",

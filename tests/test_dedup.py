@@ -223,3 +223,49 @@ def test_bucket_size_histogram_audit(spark):
     df = spark.createDataFrame(rows, "band string, doc_id long")
     got = {r.bucket_size: r.n_buckets for r in bucket_size_histogram(df, ["band"]).collect()}
     assert got == {5: 1, 2: 1, 1: 1}
+
+
+def test_streaming_minhash_batch_parity(spark, tmp_path, docs_df):
+    """Documented incremental mode for the near-dedup family: MinHash
+    SIGNATURES are per-document and therefore embarrassingly
+    incremental — a foreachBatch sink appends them per micro-batch
+    (availableNow replay here, several files -> several batches) and
+    the banded candidate join then runs periodically over the
+    ACCUMULATED signature table.  Candidates from the replayed stream
+    must equal the one-shot batch pipeline exactly (splitting the
+    corpus across micro-batches loses no pairs because pairing happens
+    after accumulation, never inside a batch)."""
+    src = str(tmp_path / "src")
+    sig_dir = str(tmp_path / "sigs")
+    docs_df.repartition(4).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def sink(batch_df, _bid):
+        minhash_signatures(
+            batch_df, "text", "doc_id", num_hashes=16, shingle_k=3
+        ).write.mode("append").parquet(sig_dir)
+
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    streamed = {
+        (r.id_a, r.id_b, r.n_bands_shared)
+        for r in minhash_dup_candidates(
+            spark.read.parquet(sig_dir), "doc_id", bands=4, rows_per_band=4
+        ).collect()
+    }
+    batch = {
+        (r.id_a, r.id_b, r.n_bands_shared)
+        for r in minhash_dup_candidates(
+            minhash_signatures(docs_df, "text", "doc_id", num_hashes=16, shingle_k=3),
+            "doc_id",
+            bands=4,
+            rows_per_band=4,
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0

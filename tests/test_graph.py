@@ -54,3 +54,31 @@ def test_path_graph_converges_logarithmically(spark):
     cc = connected_components(edges, max_iters=12)
     got = {r.id: r.cluster_id for r in cc.collect()}
     assert got == {i: 0 for i in range(129)}
+
+
+def test_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode (reliable checkpoint() — the cluster-scale
+    setting that survives executor loss) must produce identical labels
+    to the default localCheckpoint mode, and must actually write
+    checkpoint data into the directory."""
+    import os
+
+    from cerberus_spark.operators.graph import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 30)], "id_a long, id_b long"
+    )
+    ckdir = str(tmp_path / "cc_ckpt")
+    local = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    reliable = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert reliable == local
+    assert any(os.scandir(ckdir)), "no checkpoint data written"
+    # pass-through on the clustering wrapper
+    dk = {
+        (r.id, r.cluster_id, r.csize, r.keep)
+        for r in dedup_clusters(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert (1, 1, 3, True) in dk and (3, 1, 3, False) in dk
