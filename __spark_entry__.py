@@ -1046,6 +1046,27 @@ def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher character-coverage n-gram rules at k=3 (functions/text.py
+    top_ngram_char_milli / dup_ngram_char_milli): permille of
+    normalized-text characters covered by the most frequent 3-gram and
+    by all duplicated 3-grams — per-row fold arithmetic, zero shuffles
+    (the SQL twin replays via unnest+count, ties on count take the
+    longest gram in BOTH engines)."""
+    from cerberus_spark.functions.text import (
+        dup_ngram_char_milli,
+        top_ngram_char_milli,
+    )
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        top_ngram_char_milli(t, 3).alias("top_3gram_char_milli"),
+        dup_ngram_char_milli(t, 3).alias("dup_3gram_char_milli"),
+    )
+
+
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed interval merging (operators/winnow.py:
     merge_intervals) — the mergeable step of remove_shared_spans
@@ -1859,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_nfc": q_normalize_nfc,
         "gopher_gate": q_gopher_gate,
         "merge_intervals": q_merge_intervals,
+        "ngram_repetition": q_ngram_repetition,
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -1899,8 +1921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_counts": q_pivot_counts,
         "group_quantiles": q_group_quantiles,
         "recent_targets": q_recent_targets,
-        "label_count_map": q_label_count_map,
         "winnow_candidates": q_winnow_candidates,
+        "label_count_map": q_label_count_map,
         "validate_extended": q_validate_extended,
         "rule_suggestions": q_rule_suggestions,
         "outliers_mad": q_outliers_mad,
@@ -3401,6 +3423,38 @@ FROM wc JOIN g ON wc.doc_id = g.doc_id
     out["normalize_nfc"] = (
         "SELECT doc_id, md5(nfc_normalize(text)) AS nfc_md5 FROM documents"
     )
+    # ties on count take the longest gram in both engines; dup coverage
+    # is sum(count x len) over grams with count > 1 (same approximation
+    # as the Spark fold); docs with < 3 words emit NULL metrics
+    out["ngram_repetition"] = f"""
+WITH w AS (SELECT doc_id, {_WORDS} AS w FROM documents),
+g AS (
+  SELECT doc_id, len(w) AS nw, length(array_to_string(w, ' ')) AS total,
+         CASE WHEN len(w) >= 3 THEN
+           list_transform(range(1, len(w) - 1), i -> array_to_string(w[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM w
+), c AS (
+  SELECT doc_id, any_value(total) AS total, gram, count(*) AS cnt
+  FROM (SELECT doc_id, total, s AS gram FROM g, unnest(g.grams) AS t(s))
+  GROUP BY doc_id, gram
+), r AS (
+  SELECT doc_id, total, cnt, length(gram) AS glen,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY cnt DESC, length(gram) DESC, gram ASC) AS rn
+  FROM c
+), top AS (
+  SELECT doc_id, CAST(floor(1000 * cnt * glen / total) AS BIGINT) AS topm
+  FROM r WHERE rn = 1
+), dup AS (
+  SELECT doc_id,
+         CAST(floor(1000 * COALESCE(sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END), 0)
+                    / any_value(total)) AS BIGINT) AS dupm
+  FROM c GROUP BY doc_id
+)
+SELECT g.doc_id, top.topm AS top_3gram_char_milli, dup.dupm AS dup_3gram_char_milli
+FROM g LEFT JOIN top USING (doc_id) LEFT JOIN dup USING (doc_id)
+"""
     # same permille/quality expressions as the doc_quality and
     # doc_repetition pairs; reason order mirrors the Spark checks list
     out["gopher_gate"] = f"""

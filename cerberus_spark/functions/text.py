@@ -250,6 +250,100 @@ def dup_2gram_milli(col: Column) -> Column:
     return F.when(n2 > 0, F.floor(F.lit(1000) * (n2 - nd2) / n2)).cast("long")
 
 
+def _word_ngrams(w: Column, k: int) -> Column:
+    """Space-joined word k-grams of a word array (empty array when the
+    doc has fewer than k words)."""
+    n = F.size(w)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(w, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_char_milli(col: Column, k: int) -> Column:
+    """Permille of normalized-text CHARACTERS covered by the most
+    frequent word k-gram (count × gram char length / total chars) —
+    the Gopher top-n-gram character rule (k=2..4 in the paper, e.g.
+    top-2-gram > 20%% ⇒ drop).  Ties on count take the LONGEST gram
+    (deterministic, and the larger coverage is the honest answer).
+    NULL when the doc has fewer than k words.
+
+    One linear fold over the SORTED gram array — per-row arithmetic,
+    zero shuffles, same scan shape as the rest of the family.
+    """
+    w = _norm_words(col)
+    grams = F.array_sort(_word_ngrams(w, k))
+    total = F.length(F.array_join(w, " "))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best_run"),
+        F.lit(0).cast("long").alias("best_len"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        better = (run > acc["best_run"]) | (
+            (run == acc["best_run"]) & (F.length(x) > acc["best_len"])
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+            F.when(better, F.length(x).cast("long"))
+            .otherwise(acc["best_len"])
+            .alias("best_len"),
+        )
+
+    cover = F.aggregate(grams, init, step, lambda a: a["best_run"] * a["best_len"])
+    return F.when(
+        (F.size(grams) > 0) & (total > 0), F.floor(F.lit(1000) * cover / total)
+    ).cast("long")
+
+
+def dup_ngram_char_milli(col: Column, k: int) -> Column:
+    """Permille of normalized-text characters covered by word k-grams
+    occurring MORE THAN ONCE — the Gopher duplicate-n-gram character
+    rule (k=5..10 in the paper).  Overlapping occurrences are counted
+    per occurrence (Σ count×len over duplicated grams), the standard
+    SQL-replayable approximation of the paper's character-coverage
+    union; it upper-bounds the exact union, so thresholds are
+    conservative.  NULL when the doc has fewer than k words.
+
+    Same zero-shuffle fold shape as :func:`top_ngram_char_milli`.
+    """
+    w = _norm_words(col)
+    grams = F.array_sort(_word_ngrams(w, k))
+    total = F.length(F.array_join(w, " "))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dupchars"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        same = x == acc["prev"]
+        flushed = F.when(
+            ~F.coalesce(same, F.lit(False)) & (acc["run"] > 1),
+            acc["dupchars"] + acc["run"] * F.length(acc["prev"]),
+        ).otherwise(acc["dupchars"])
+        run = F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(x.alias("prev"), run.alias("run"), flushed.alias("dupchars"))
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["run"] > 1, acc["dupchars"] + acc["run"] * F.length(acc["prev"])
+        ).otherwise(acc["dupchars"])
+
+    dupchars = F.aggregate(grams, init, step, finish)
+    return F.when(
+        (F.size(grams) > 0) & (total > 0), F.floor(F.lit(1000) * dupchars / total)
+    ).cast("long")
+
+
 def unigram_logprob_scores(
     df,
     text_col: str,
@@ -337,6 +431,8 @@ def gopher_filter_report(
     max_top_word_milli: int = 200,
     max_dup_2gram_milli: int = 200,
     min_quality_milli: int = 500,
+    max_top_ngram_char_milli: dict[int, int] | None = None,
+    max_dup_ngram_char_milli: dict[int, int] | None = None,
 ) -> Column:
     """Composite Gopher-style keep/drop decision as a struct column
     ``(keep boolean, reasons array<string>)`` — the standard documented
@@ -344,6 +440,13 @@ def gopher_filter_report(
     signals (token budget, word/2-gram repetition permilles, integer
     quality score).  Thresholds default to the published Gopher-rule
     ballpark and are parameters, not policy.
+
+    The full published rule set also caps CHARACTER coverage of top
+    n-grams (k=2..4) and duplicated n-grams (k=5..10): pass
+    ``max_top_ngram_char_milli={2: 200, 3: 180, 4: 160}`` and/or
+    ``max_dup_ngram_char_milli={5: 150, ..., 10: 100}`` to enable those
+    gates (reasons ``top_{k}gram_chars`` / ``dup_{k}gram_chars``).
+    Off by default: each enabled k adds one fold pass per row.
 
     Pure Catalyst composition — evaluating the report costs the same
     single projection pass as any one signal; ``reasons`` names every
@@ -359,6 +462,10 @@ def gopher_filter_report(
         ("dup_2grams", dup_2gram_milli(col) > max_dup_2gram_milli),
         ("low_quality", quality_score_milli(col) < min_quality_milli),
     ]
+    for k, thr in sorted((max_top_ngram_char_milli or {}).items()):
+        checks.append((f"top_{k}gram_chars", top_ngram_char_milli(col, k) > thr))
+    for k, thr in sorted((max_dup_ngram_char_milli or {}).items()):
+        checks.append((f"dup_{k}gram_chars", dup_ngram_char_milli(col, k) > thr))
     reasons = F.array_compact(
         F.array(*[F.when(pred, F.lit(name)) for name, pred in checks])
     )

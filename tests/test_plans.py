@@ -288,3 +288,29 @@ def test_fuzzy_join_never_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "levenshtein" in plan, plan  # the exact verify stage is present
+
+
+def test_merge_intervals_single_shuffle_no_join(spark):
+    """Gaps-and-islands interval merge: ONE exchange keyed on the
+    interval key (both window passes and the final group-by reuse the
+    same partitioning), and never a join/NLJ."""
+    from cerberus_spark.operators.winnow import merge_intervals
+
+    df = spark.createDataFrame(
+        [("k", 0, 5), ("k", 4, 9)], "key string, lo long, hi long"
+    )
+    plan = plan_of(merge_intervals(df, ["key"], "lo", "hi"))
+    assert n_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_gopher_gate_is_shuffle_free_projection(spark):
+    """The composite quality gate must stay a per-row projection —
+    zero exchanges regardless of how many signals it composes."""
+    from cerberus_spark.functions.text import gopher_filter_report
+
+    df = spark.range(10).select(
+        F.concat(F.lit("doc text sample "), F.col("id").cast("string")).alias("text")
+    )
+    plan = plan_of(df.select(gopher_filter_report(F.col("text")).alias("rep")))
+    assert "Exchange" not in plan, plan

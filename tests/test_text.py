@@ -283,3 +283,95 @@ def test_gopher_filter_report(spark):
         .groupBy("r").count().collect()
     )
     assert {r.r for r in counts} >= {"too_short", "dup_words"}
+
+
+def _py_ngram_millis(text: str, k: int):
+    import math
+    import re as _re
+
+    norm = _re.sub(r"\s+", " ", text.lower()).strip()
+    words = norm.split(" ") if norm else []
+    if len(words) < k:
+        return None, None
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    total = len(" ".join(words))
+    from collections import Counter
+
+    c = Counter(grams)
+    top_cnt = max(c.values())
+    top_len = max(len(g) for g, n in c.items() if n == top_cnt)
+    top = math.floor(1000 * top_cnt * top_len / total)
+    dup = math.floor(
+        1000 * sum(n * len(g) for g, n in c.items() if n > 1) / total
+    )
+    return top, dup
+
+
+def test_ngram_char_millis_match_python_twin(spark):
+    from cerberus_spark.functions.text import (
+        dup_ngram_char_milli,
+        top_ngram_char_milli,
+    )
+
+    texts = [
+        "the cat sat on the mat the cat sat on the rug",   # repeated 3-grams
+        "a b a b a b a b a b",                              # heavy repetition
+        "all words here are completely distinct tokens",    # no dup 3-grams
+        "one two",                                          # < k words -> NULL
+        "x " * 50,                                          # one gram repeated
+        "Mixed   CASE \t and   spacing  mixed case and spacing",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, t string")
+    got = {
+        r.id: (r.top, r.dup)
+        for r in df.select(
+            "id",
+            top_ngram_char_milli(F.col("t"), 3).alias("top"),
+            dup_ngram_char_milli(F.col("t"), 3).alias("dup"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_ngram_millis(t, 3), (i, t, got[i], _py_ngram_millis(t, 3))
+
+
+def test_ngram_char_millis_hand_checked(spark):
+    from cerberus_spark.functions.text import (
+        dup_ngram_char_milli,
+        top_ngram_char_milli,
+    )
+
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b]; top = "a b" x3
+    # (len 3); total chars = len("a b a b a b") = 11
+    # top = floor(1000*9/11) = 818; dup = (3+2)*3 = 15 chars -> floor(15000/11) = 1363
+    df = spark.createDataFrame([("a b a b a b",)], "t string")
+    r = df.select(
+        top_ngram_char_milli(F.col("t"), 2).alias("top"),
+        dup_ngram_char_milli(F.col("t"), 2).alias("dup"),
+    ).collect()[0]
+    assert r.top == 818
+    assert r.dup == 1363
+
+
+def test_gopher_gate_ngram_char_rules(spark):
+    """Enabling the character-coverage n-gram caps adds the
+    corresponding reasons; defaults leave the gate unchanged."""
+    from cerberus_spark.functions.text import gopher_filter_report
+
+    # 60 tokens, one 3-gram repeated 20x -> massive 3-gram char coverage
+    spam = "the cat sat " * 20
+    df = spark.createDataFrame([(spam,)], "t string")
+    base = df.select(gopher_filter_report(F.col("t")).alias("r")).collect()[0].r
+    gated = (
+        df.select(
+            gopher_filter_report(
+                F.col("t"),
+                max_top_ngram_char_milli={3: 180},
+                max_dup_ngram_char_milli={5: 150},
+            ).alias("r")
+        )
+        .collect()[0]
+        .r
+    )
+    assert "top_3gram_chars" not in base.reasons
+    assert "top_3gram_chars" in gated.reasons
+    assert "dup_5gram_chars" in gated.reasons
