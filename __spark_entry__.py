@@ -712,6 +712,24 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN (probes=2): the query side fans out to its 2
+    nearest centroid buckets (similarity.py:ivf_probe_assign) — the
+    standard recall knob for Voronoi-boundary queries; the candidate
+    join stays an equi-join on bucket, candidates ~2× a single probe,
+    never |corpus|."""
+    from cerberus_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+    return ivf_topk(emb, queries_df, centroids, k=3, probes=2).select(
+        "query_id", "neighbor_id", "sim", "rk"
+    )
+
+
 def q_semi_join_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 analog: broadcast LEFT-SEMI membership flagging (reference
     threat-port lookup, internal/databases/service.go:445-451) — keep
@@ -1881,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "merge_intervals": q_merge_intervals,
         "ngram_repetition": q_ngram_repetition,
+        "ivf_topk_probes": q_ivf_topk_probes,
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -3005,6 +3024,42 @@ WITH cent AS (
 ), q AS (
   SELECT e.vec_id AS query_id, e.embedding AS qv, a.bucket
   FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  WHERE e.vec_id >= 5 AND e.vec_id < 10
+), cand AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.embedding) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding, e.embedding))), 4) AS sim
+  FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+  JOIN q ON a.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rk FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rk
+  FROM cand
+) WHERE rk <= 3
+""",
+        "ivf_topk_probes": """
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS centroid FROM embeddings WHERE vec_id < 4
+), scored_all AS (
+  SELECT v.vec_id, c.centroid_id,
+         round(list_dot_product(v.embedding, c.centroid) /
+               (sqrt(list_dot_product(v.embedding, v.embedding)) *
+                sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim
+  FROM embeddings v CROSS JOIN cent c
+), ranked AS (
+  SELECT vec_id, centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+  FROM scored_all
+), assign AS (
+  SELECT vec_id, centroid_id AS bucket FROM ranked WHERE rn = 1
+), qassign AS (
+  SELECT vec_id, centroid_id AS bucket FROM ranked WHERE rn <= 2
+), q AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv, a.bucket
+  FROM embeddings e JOIN qassign a ON e.vec_id = a.vec_id
   WHERE e.vec_id >= 5 AND e.vec_id < 10
 ), cand AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,

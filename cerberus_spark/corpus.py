@@ -140,3 +140,128 @@ def clean_corpus(
     dropped = quality_drops.unionByName(exact_drops).unionByName(losers)
     report = dropped.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
     return {"kept": kept, "dropped": dropped, "report": report}
+
+
+def ingest_corpus_increment(
+    batch: DataFrame,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+    quality_kwargs: dict | None = None,
+    minhash_kwargs: dict | None = None,
+) -> None:
+    """Incremental-ingest half of the pipeline: run the PER-DOCUMENT
+    stages (normalize + quality gate + exact-dedup fingerprint + MinHash
+    signature — all embarrassingly incremental, no corpus-level state)
+    on one micro-batch and append the results to the work tables under
+    ``work_dir`` (``gated/``, ``sigs/``, ``quality_drops/``).
+
+    Designed as a ``foreachBatch`` sink:
+
+        stream.writeStream.foreachBatch(
+            lambda df, bid: ingest_corpus_increment(df, work_dir)
+        ).trigger(availableNow=True).start()
+
+    The corpus-LEVEL stages (exact-dup group-by, LSH banding,
+    clustering) run over the ACCUMULATED tables in
+    :func:`compact_corpus` — splitting the corpus across micro-batches
+    therefore loses no duplicate pairs (test:
+    ``test_incremental_corpus_matches_batch``).  foreachBatch is
+    at-least-once on retry; production appends should be keyed by
+    batchId (idempotent overwrite of a batch partition) — plumbing the
+    driver's restart semantics is sink policy, not pipeline logic.
+    """
+    import os
+
+    from cerberus_spark.functions.text import gopher_filter_report, normalize_unicode
+    from cerberus_spark.operators.dedup import (
+        md5_i64,
+        minhash_signatures,
+        normalize_text,
+    )
+
+    base = batch
+    if normalize:
+        base = base.withColumn(text_col, normalize_unicode(text_col))
+    gated = base.withColumn(
+        "_gate", gopher_filter_report(F.col(text_col), **(quality_kwargs or {}))
+    ).localCheckpoint(eager=False)
+
+    gated.filter(~F.col("_gate.keep")).select(
+        F.col(id_col).alias("id"),
+        F.lit("quality").alias("stage"),
+        F.explode("_gate.reasons").alias("reason"),
+    ).write.mode("append").parquet(os.path.join(work_dir, "quality_drops"))
+
+    survivors = (
+        gated.filter(F.col("_gate.keep"))
+        .drop("_gate")
+        .withColumn("_fp", md5_i64(normalize_text(F.col(text_col))))
+        .localCheckpoint(eager=False)
+    )
+    survivors.write.mode("append").parquet(os.path.join(work_dir, "gated"))
+    minhash_signatures(
+        survivors,
+        text_col,
+        id_col,
+        **(minhash_kwargs or {"num_hashes": 16, "shingle_k": 3}),
+    ).write.mode("append").parquet(os.path.join(work_dir, "sigs"))
+
+
+def compact_corpus(
+    spark,
+    work_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = 200,
+) -> dict[str, DataFrame]:
+    """Corpus-level half of the incremental pipeline: exact dedup +
+    LSH near-dedup + clustering over the work tables accumulated by
+    :func:`ingest_corpus_increment`.  Returns the same
+    ``{kept, dropped, report}`` dict as :func:`clean_corpus` and, for
+    the same total input, the same rows — signatures and fingerprints
+    are per-document, so WHEN they were computed cannot change the
+    group-bys they feed.  Run after ingest completes (availableNow) or
+    periodically on a schedule (kept/dropped are snapshots of the
+    corpus ingested so far).
+    """
+    import os
+
+    from cerberus_spark.operators.dedup import minhash_dup_candidates
+    from cerberus_spark.operators.graph import dedup_clusters
+
+    gated = spark.read.parquet(os.path.join(work_dir, "gated"))
+    quality_drops = spark.read.parquet(os.path.join(work_dir, "quality_drops"))
+
+    keepers = gated.groupBy("_fp").agg(F.min(id_col).alias("_keep_id"))
+    exact_tagged = gated.join(keepers, "_fp")
+    exact_drops = exact_tagged.filter(F.col(id_col) != F.col("_keep_id")).select(
+        F.col(id_col).alias("id"),
+        F.lit("exact_dup").alias("stage"),
+        F.concat(F.lit("dup_of_"), F.col("_keep_id").cast("string")).alias("reason"),
+    )
+    exact_kept = exact_tagged.filter(F.col(id_col) == F.col("_keep_id")).drop(
+        "_fp", "_keep_id"
+    )
+
+    sigs = spark.read.parquet(os.path.join(work_dir, "sigs")).join(
+        exact_kept.select(id_col), id_col, "left_semi"
+    )
+    cand = minhash_dup_candidates(
+        sigs, id_col, bands=bands, rows_per_band=rows_per_band, bucket_cap=bucket_cap
+    )
+    clusters = dedup_clusters(cand).localCheckpoint(eager=False)
+    losers = clusters.filter(~F.col("keep")).select(
+        F.col("id"),
+        F.lit("near_dup").alias("stage"),
+        F.concat(F.lit("cluster_"), F.col("cluster_id").cast("string")).alias("reason"),
+    )
+    kept = exact_kept.join(
+        losers.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    dropped = quality_drops.unionByName(exact_drops).unionByName(losers)
+    report = dropped.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
+    return {"kept": kept, "dropped": dropped, "report": report}

@@ -174,6 +174,40 @@ def cosine_neardup_pairs(
     )
 
 
+def ivf_probe_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "centroid",
+    probes: int = 1,
+    assign_round: int = 6,
+) -> DataFrame:
+    """(id, bucket) rows for each vector's ``probes`` NEAREST centroids
+    (one row per probe) — the multi-probe side of an IVF search.
+    Multi-probe is the standard recall knob: a query near a Voronoi
+    boundary misses neighbors assigned to the adjacent centroid with
+    probes=1; probing the top-p buckets recovers them while the
+    candidate join stays an equi-join with p× the candidates (vs
+    |corpus| for brute force).  Rounded sims + total tiebreak keep the
+    probe set engine-stable, exactly as :func:`ivf_assign`.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col),
+        F.col(centroid_id),
+        F.round(cosine(F.col(vec_col), F.col(centroid_vec)), assign_round).alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("sim").desc(), F.col(centroid_id).asc()
+    )
+    return (
+        scored.withColumn("_pr", F.row_number().over(w))
+        .filter(F.col("_pr") <= probes)
+        .select(id_col, F.col(centroid_id).alias("bucket"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -182,15 +216,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_to: int = 4,
+    probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's centroid bucket
-    (probes=1).  Recall trades off with #centroids; the candidate join
-    is an equi-join on bucket — shuffle-light at scale.
+    """Approximate top-k: search the query's ``probes`` nearest
+    centroid buckets (default 1).  Recall trades off with #centroids
+    and back up with ``probes``; the candidate join stays an equi-join
+    on bucket — shuffle-light at scale.  Corpus vectors keep their
+    single nearest-centroid assignment (the index layout); only the
+    QUERY side fans out, so candidates grow ~probes× the bucket size,
+    and because each corpus vector lives in exactly ONE bucket a
+    (query, neighbor) pair can never appear twice — no dedup needed
+    before ranking.
 
     As in :func:`cosine_topk`, ``sim`` is rounded before the ranking
     window so the truncation at k is bit-stable across engines."""
     c_assign = ivf_assign(corpus, centroids, id_col, vec_col)
-    q_assign = ivf_assign(queries, centroids, id_col, vec_col)
+    q_assign = ivf_probe_assign(queries, centroids, id_col, vec_col, probes=probes)
     c = corpus.join(c_assign, id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
     )

@@ -107,3 +107,42 @@ def test_clean_corpus_substring_removal_stage(spark):
     assert run in kept[1].text            # lower id keeps the run
     assert run not in kept[2].text        # higher id had it cut
     assert kept[2].n_cut_chars >= 80
+
+
+def test_incremental_corpus_matches_batch(spark, corpus, tmp_path):
+    """Streaming-ingest mode: per-doc stages run per micro-batch
+    (foreachBatch, availableNow replay, one file per trigger), corpus
+    stages run at compaction over the accumulated work tables — kept
+    ids, drop rows, and the report must equal the one-shot batch
+    clean_corpus exactly (per-doc fingerprints/signatures cannot depend
+    on WHEN they were computed)."""
+    from cerberus_spark.corpus import compact_corpus, ingest_corpus_increment
+
+    mh = {"num_hashes": 32, "shingle_k": 3}
+    batch = clean_corpus(corpus, minhash_kwargs=mh, bands=8, rows_per_band=4)
+    b_kept = sorted(r.doc_id for r in batch["kept"].collect())
+    b_dropped = {(r.id, r.stage, r.reason) for r in batch["dropped"].collect()}
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    corpus.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, _bid: ingest_corpus_increment(df, work, minhash_kwargs=mh)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    inc = compact_corpus(spark, work, bands=8, rows_per_band=4)
+    assert sorted(r.doc_id for r in inc["kept"].collect()) == b_kept
+    assert {(r.id, r.stage, r.reason) for r in inc["dropped"].collect()} == b_dropped
+    assert {
+        (r.stage, r.reason, r.n_docs) for r in inc["report"].collect()
+    } == {(r.stage, r.reason, r.n_docs) for r in batch["report"].collect()}

@@ -102,3 +102,28 @@ def test_ivf_neardup_bucket_cap_bounds_degenerate_corpus(spark):
     # the 4-member bucket (< cap) is untouched: its near-dup pairs survive
     assert (1000, 1001) in pairs
     assert len(pairs) <= 6
+
+
+def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark, emb_df):
+    """Multi-probe recall vs exact brute force: probing every bucket
+    makes IVF EQUAL the exact search (same rounding + tiebreaks — no
+    candidate is ever excluded), and recall is monotone in probes."""
+    centroids = spark.createDataFrame(
+        [(i, VECS[i].tolist()) for i in range(4)],
+        "centroid_id long, centroid array<float>",
+    )
+    queries = emb_df.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(emb_df, queries, k=3).collect()
+    }
+
+    def got(p):
+        return {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb_df, queries, centroids, k=3, probes=p).collect()
+        }
+
+    r1, r2, r4 = got(1), got(2), got(4)
+    assert r4 == exact
+    assert len(r1 & exact) <= len(r2 & exact) <= len(r4 & exact)
