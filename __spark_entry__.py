@@ -1218,13 +1218,16 @@ def q_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one shuffle + one local sort; true greedy packing is sequential
     and cannot distribute — semantics documented in operators/pack.py).
 
-    r4: token counting switched to token_count_robust (shared explicit
-    hex character-class pattern, match-count semantics, SQL generated
-    from the same constant) — the r3 driver gate hash-mismatched this
-    pair while an identical local replica passed, so every
-    engine-version-sensitive construct (``\\s`` definition,
-    split/string_split_regex trailing-empty semantics, ``//`` integer
-    division) is eliminated from both sides."""
+    r4: the r3 driver gate hash-mismatched this pair while an identical
+    local replica passed, so every engine-version-sensitive construct
+    is eliminated from both sides: token counting switched to
+    token_count_robust (shared explicit hex character-class pattern,
+    match-count semantics, SQL generated from the same constant — no
+    ``\\s`` definition or split trailing-empty semantics), ``//``
+    replaced by floor(double division), and the exclusive cumsum frame
+    (UNBOUNDED..1 PRECEDING + COALESCE) replaced by the inclusive
+    ROWS UNBOUNDED PRECEDING frame minus the current row — the one
+    window-frame shape the gate already proves green via trim_budget."""
     from cerberus_spark.functions.text import token_count_robust
     from cerberus_spark.operators.pack import pack_documents
 
@@ -3419,8 +3422,8 @@ WITH toks AS (
   FROM documents
 ), packed AS (
   SELECT bucket, n_tokens,
-         CAST(floor(COALESCE(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
                     / CAST(512 AS DOUBLE)) AS BIGINT) AS pack_id
   FROM toks
 )

@@ -51,12 +51,18 @@ def pack_documents(
     base = df.withColumn("n_tokens", tokens.cast("long")).withColumn(
         "bucket", F.pmod(md5_i64(F.col(id_col).cast("string")), F.lit(n_buckets))
     )
+    # exclusive running sum expressed as inclusive-minus-current: the
+    # inclusive ROWS UNBOUNDED PRECEDING frame is the only window-frame
+    # construct the cross-engine gate exercises elsewhere (trim_budget),
+    # so both engines run one proven code path — the equivalent
+    # `UNBOUNDED PRECEDING AND 1 PRECEDING` frame + COALESCE is exactly
+    # the kind of per-engine corner this pair once hash-mismatched on
     w = (
         Window.partitionBy("bucket")
         .orderBy(F.col(id_col).asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    cum_excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
     return base.withColumn(
         "pack_id", F.floor(cum_excl / F.lit(budget)).cast("long")
     )
