@@ -1450,6 +1450,20 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_drift(base, cur, "value")
 
 
+def q_w1_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned Wasserstein-1 (earth-mover) drift of the post-split value
+    distribution vs the pre-split baseline over the FROZEN VALUE_EDGES
+    bins — Σ|CDF gap| in bin units (checks/drift.py:wasserstein_drift):
+    the 'how far did mass move' complement of KS/KL/chi2, |bins|-sized
+    state only."""
+    from cerberus_spark.checks.drift import wasserstein_drift
+
+    ev = _t(spark, sf_dir, "events")
+    base = numeric_histogram(ev.filter(F.col("ts") < DRIFT_SPLIT), "value", VALUE_EDGES)
+    cur = numeric_histogram(ev.filter(F.col("ts") >= DRIFT_SPLIT), "value", VALUE_EDGES)
+    return wasserstein_drift(base, cur, "value")
+
+
 def q_trim_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget context trimming: keep each user's most recent
     whole events whose cumulative token count (len(props) proxy) fits
@@ -1903,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_intervals": q_merge_intervals,
         "ngram_repetition": q_ngram_repetition,
         "ivf_topk_probes": q_ivf_topk_probes,
+        "w1_drift": q_w1_drift,
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -2138,6 +2153,21 @@ WITH binned AS (
 SELECT 'value' AS column_name, round(max(abs(cum_b / bt - cum_c / ct)), 6) AS ks
 FROM g, t
 """
+    # same CTE chain as ks; each gap weighted by the index span to the
+    # next present bin (CDFs constant over bins empty in both inputs)
+    w1_drift_sql = ks_drift_sql.replace(
+        """  SELECT sum(bc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(cc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING) AS cum_c
+  FROM j""",
+        """  SELECT sum(bc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING) AS cum_b,
+         sum(cc) OVER (ORDER BY bin_idx ROWS UNBOUNDED PRECEDING) AS cum_c,
+         coalesce(lead(bin_idx) OVER (ORDER BY bin_idx) - bin_idx, 1) AS span
+  FROM j""",
+    ).replace(
+        "round(max(abs(cum_b / bt - cum_c / ct)), 6) AS ks",
+        "round(sum(abs(cum_b / bt - cum_c / ct) * span) * 1.0, 6) AS w1",
+    )
+    assert "span" in w1_drift_sql and " AS w1" in w1_drift_sql
     windowed_drift_value_sql = f"""
 WITH binned AS (
   SELECT 'bin_' || CAST({bin_steps} AS VARCHAR) AS bin, ts FROM events WHERE value IS NOT NULL
@@ -2714,6 +2744,7 @@ FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
 WHERE d > 0 AND abs(round(0.6745 * (value - m) / d, 6)) > 3.5
 """,
         "ks_drift": ks_drift_sql,
+        "w1_drift": w1_drift_sql,
         "windowed_chi2": windowed_chi2_sql,
         "fuzzy_pairs": """
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,

@@ -345,6 +345,55 @@ def ks_drift(
     )
 
 
+def wasserstein_drift(
+    baseline_hist: DataFrame,
+    current_hist: DataFrame,
+    column_name: str = "value",
+    bin_width: float = 1.0,
+) -> DataFrame:
+    """Binned Wasserstein-1 (earth-mover) distance between two
+    FROZEN-edge numeric histograms: ``bin_width · Σ_i |CDF_base(i) −
+    CDF_current(i)|`` over the bin boundaries — for 1-D distributions
+    W1 equals the integral of the |CDF gap|, so on a shared binning it
+    reduces to the same |bins|-sized cumulative pass as :func:`ks_drift`
+    with sum in place of max.  The complement of the existing family:
+    KS reacts to the single worst CDF gap, KL/PSI to log-ratio mass,
+    chi2 to sample size — W1 measures how FAR mass moved in value units
+    (``bin_width`` = the shared edge spacing; leave 1.0 for "bins
+    moved").  Within-bin shape is invisible by construction, making
+    this the standard |bins|-state approximation (exact W1 would need a
+    global sort of both tables).
+    """
+    from pyspark.sql import Window
+
+    b = baseline_hist.groupBy("bin").agg(F.sum("count").alias("b_count"))
+    c = current_hist.groupBy("bin").agg(F.sum("count").alias("c_count"))
+    j = (
+        b.join(c, on="bin", how="full_outer")
+        .fillna(0, subset=["b_count", "c_count"])
+        .withColumn("bin_idx", F.split(F.col("bin"), "_").getItem(1).cast("int"))
+    )
+    totals = j.agg(F.sum("b_count").alias("bt"), F.sum("c_count").alias("ct"))
+    w = Window.orderBy("bin_idx").rowsBetween(Window.unboundedPreceding, 0)
+    cdf_gap = F.abs(
+        F.sum("b_count").over(w) / F.col("bt") - F.sum("c_count").over(w) / F.col("ct")
+    )
+    # histograms carry only NON-EMPTY bins; over a stretch of bins empty
+    # in both inputs the CDFs are constant, so the present bin's gap
+    # persists for every skipped index — weight it by the span to the
+    # next present bin (KS needs no weighting: max ignores repeats)
+    span = F.coalesce(
+        F.lead("bin_idx").over(Window.orderBy("bin_idx")) - F.col("bin_idx"),
+        F.lit(1),
+    )
+    return (
+        j.crossJoin(F.broadcast(totals))
+        .select((cdf_gap * span).alias("gap"))
+        .agg(F.round(F.sum("gap") * F.lit(float(bin_width)), 6).alias("w1"))
+        .select(F.lit(column_name).alias("column_name"), "w1")
+    )
+
+
 def windowed_chi2_report(
     window_hists: DataFrame,
     baseline_hist: DataFrame,

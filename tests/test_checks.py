@@ -676,6 +676,31 @@ def test_ks_drift_identical_zero_and_disjoint_one(spark):
     assert ks_drift(ha, hb).collect()[0].ks == 1.0
 
 
+def test_wasserstein_drift_hand_checked_and_zero(spark):
+    from cerberus_spark.checks.drift import numeric_histogram, wasserstein_drift
+
+    edges = [0.0, 1.0, 2.0, 3.0, 4.0]
+    base = spark.createDataFrame([(v,) for v in [0.5, 1.5, 1.5, 2.5, 3.5, 3.5]], "value double")
+    cur = spark.createDataFrame([(v,) for v in [0.5, 0.5, 0.5, 1.5, 2.5, 3.5]], "value double")
+    hb = numeric_histogram(base, "value", edges)
+    hc = numeric_histogram(cur, "value", edges)
+    # |CDF gaps| at bin ends: |1/6-3/6| + |3/6-4/6| + |4/6-5/6| + 0 = 4/6
+    assert wasserstein_drift(hb, hc).collect()[0].w1 == pytest.approx(round(4 / 6, 6))
+    # bin_width scales linearly; identical histograms are exactly 0
+    assert wasserstein_drift(hb, hc, bin_width=2.0).collect()[0].w1 == pytest.approx(
+        round(8 / 6, 6)
+    )
+    assert wasserstein_drift(hb, hb).collect()[0].w1 == 0.0
+    # one-bin shift of ALL mass: W1 = 1 bin, where KS would also be 1 —
+    # but a HALF-mass shift separates them (KS 0.5, W1 0.5 here; the
+    # sum-vs-max distinction shows on multi-bin moves)
+    a = spark.createDataFrame([(0.5,), (0.5,)], "value double")
+    b = spark.createDataFrame([(2.5,), (2.5,)], "value double")
+    ha = numeric_histogram(a, "value", edges)
+    hb2 = numeric_histogram(b, "value", edges)
+    assert wasserstein_drift(ha, hb2).collect()[0].w1 == 2.0  # moved 2 bins
+
+
 def test_windowed_chi2_matches_per_slice(spark, transcripts):
     """Per-window chi2/G from windowed_chi2_report must equal running
     the plain two-histogram chi_square_drift independently on each
