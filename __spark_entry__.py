@@ -51,6 +51,9 @@ VALUE_MIN, VALUE_MAX = 0.05, 400.0
 PROPS_REGEX = '\\{"k": [0-9]{2}\\}'  # two-digit k required; 1-digit -> violation
 DRIFT_SPLIT = "2024-01-08 00:00:00"
 VALUE_EDGES = [0.0, 1.0, 5.0, 10.0, 50.0, 100.0, 200.0, 400.0, 1e18]
+#: columns probed by the null-rate drift pair (Spark + SQL generated
+#: from this one list so the engines cannot drift)
+NULL_DRIFT_COLS = ["event_type", "value", "props"]
 
 # sequence grammar over events (shared Spark <-> oracle; see
 # cerberus_spark/checks/sequence.py): purchases must follow a
@@ -1856,6 +1859,50 @@ def q_lineitem_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contiguity_report(li, "l_orderkey", "l_linenumber", start=1)
 
 
+def q_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null-rate drift pre/post DRIFT_SPLIT
+    (checks/drift.py:null_rate_drift): completeness counterpart of the
+    value-distribution drift family — one single-row aggregate per
+    side, |cols| output rows, delta computed from ROUNDED rates so the
+    subtraction is engine-exact.  SQL generated from the same column
+    list."""
+    from cerberus_spark.checks.drift import null_rate_drift
+
+    ev = _t(spark, sf_dir, "events")
+    return null_rate_drift(
+        ev.filter(F.col("ts") < DRIFT_SPLIT),
+        ev.filter(F.col("ts") >= DRIFT_SPLIT),
+        NULL_DRIFT_COLS,
+    )
+
+
+def q_conversation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation health gate (checks/sequence.py:
+    conversation_report): contiguity + grammar + monotonicity counts
+    and a composite keep flag, one row per conversation — the
+    transcript analog of the Gopher gate.  Index = the k prop
+    (coalesced to -1 so NULLs exercise n_below_start identically in
+    both engines); one window shuffle + one |convs| groupBy."""
+    from cerberus_spark.checks.sequence import conversation_report
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.regexp_extract(F.col("props"), r'"k": ([0-9]+)', 1)
+    ev = ev.withColumn(
+        "k_idx",
+        F.coalesce(F.when(k != "", k).cast("int"), F.lit(-1)),
+    )
+    return conversation_report(
+        ev,
+        "user_id",
+        "k_idx",
+        "event_type",
+        "ts",
+        ["ts", "event_id"],
+        set(SEQ_ALLOWED),
+        set(SEQ_ALLOWED_FIRST),
+    )
+
+
 def q_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable frequent-items summary per event_type (k=8 over
     user_id): lower-bound counts + undercount bound err — the
@@ -1918,6 +1965,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_repetition": q_ngram_repetition,
         "ivf_topk_probes": q_ivf_topk_probes,
         "w1_drift": q_w1_drift,
+        "conversation_gate": q_conversation_gate,
+        "null_rate_drift": q_null_rate_drift,
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -3648,6 +3697,67 @@ FROM o WHERE ts < prev_ts
 UNION ALL
 SELECT user_id, event_id, event_type, prev_state, 'first_state' AS rule
 FROM o WHERE rn = 1 AND event_type NOT IN ({seq_first})
+"""
+    nr_cols = NULL_DRIFT_COLS
+    nr_b = ", ".join(
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS b_{c}" for c in nr_cols
+    )
+    nr_c = ", ".join(
+        f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS c_{c}" for c in nr_cols
+    )
+    nr_rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS column_name, round(b_{c} / b_n, 6) AS base_null_rate, "
+        f"round(c_{c} / c_n, 6) AS cur_null_rate, "
+        f"round(round(c_{c} / c_n, 6) - round(b_{c} / b_n, 6), 6) AS delta FROM b, c"
+        for c in nr_cols
+    )
+    out["null_rate_drift"] = f"""
+WITH b AS (
+  SELECT count(*) AS b_n, {nr_b} FROM events WHERE ts < TIMESTAMP '{DRIFT_SPLIT}'
+), c AS (
+  SELECT count(*) AS c_n, {nr_c} FROM events WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}'
+)
+{nr_rows}
+"""
+    out["conversation_gate"] = f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, ts,
+         coalesce(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), -1) AS k_idx
+  FROM events
+), rep AS (
+  SELECT user_id AS conv, count(*)::BIGINT AS n_turns,
+         (count(*) - count(DISTINCT k_idx))::BIGINT AS n_dup_idx,
+         greatest(0, max(k_idx) - 0 + 1
+                  - count(DISTINCT CASE WHEN k_idx >= 0 THEN k_idx END))::BIGINT AS n_missing,
+         count(DISTINCT CASE WHEN k_idx < 0 THEN k_idx END)::BIGINT AS n_below_start
+  FROM ev GROUP BY user_id
+), o AS (
+  SELECT user_id, event_type, ts,
+         lag(event_type) OVER w AS prev_state,
+         lag(ts) OVER w AS prev_ts,
+         row_number() OVER w AS rn
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), counts AS (
+  SELECT user_id AS conv,
+         sum(CASE WHEN prev_state IS NOT NULL AND event_type IS NOT NULL
+                  AND (prev_state || chr(31) || event_type) NOT IN ({seq_allowed})
+                  THEN 1 ELSE 0 END)::BIGINT AS n_transition,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null_state,
+         sum(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)::BIGINT AS n_ts_regression,
+         sum(CASE WHEN rn = 1 AND event_type NOT IN ({seq_first})
+                  THEN 1 ELSE 0 END)::BIGINT AS n_first_state
+  FROM o GROUP BY user_id
+)
+SELECT rep.conv, n_turns, n_dup_idx, n_missing, n_below_start,
+       coalesce(n_transition, 0) AS n_transition,
+       coalesce(n_null_state, 0) AS n_null_state,
+       coalesce(n_ts_regression, 0) AS n_ts_regression,
+       coalesce(n_first_state, 0) AS n_first_state,
+       (n_dup_idx = 0 AND n_missing = 0 AND n_below_start = 0
+        AND coalesce(n_transition, 0) = 0 AND coalesce(n_null_state, 0) = 0
+        AND coalesce(n_ts_regression, 0) = 0 AND coalesce(n_first_state, 0) = 0) AS keep
+FROM rep LEFT JOIN counts ON rep.conv = counts.conv
 """
     out["lineitem_contiguity"] = """
 SELECT l_orderkey AS conv,

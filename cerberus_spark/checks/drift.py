@@ -457,3 +457,44 @@ def windowed_chi2_report(
             (F.col("n_bins_b") - 1).alias("dof"),
         )
     )
+
+
+def null_rate_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: list[str],
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-column null-rate drift between a baseline snapshot and the
+    current window: (column_name, base_null_rate, cur_null_rate,
+    delta) — the completeness counterpart of the value-distribution
+    drift family (a field whose null rate jumps is usually an upstream
+    extractor breaking, invisible to histogram drift because the
+    non-null values still look normal).
+
+    Scale shape: each side is ONE map-side-combined aggregate to a
+    single row (|cols| counters wide); the join is 1×1 and the output
+    is |cols| rows exploded from a literal array.  ``delta`` is
+    computed from the ROUNDED rates so it is engine-exact.
+    """
+    def rates(df: DataFrame, prefix: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).alias(f"{prefix}_n")]
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{prefix}_{c}")
+            for c in cols
+        ]
+        return df.agg(*aggs)
+
+    j = rates(baseline, "b").crossJoin(rates(current, "c"))
+    base_r = {c: F.round(F.col(f"b_{c}") / F.col("b_n"), round_to) for c in cols}
+    cur_r = {c: F.round(F.col(f"c_{c}") / F.col("c_n"), round_to) for c in cols}
+    entries = [
+        F.struct(
+            F.lit(c).alias("column_name"),
+            base_r[c].alias("base_null_rate"),
+            cur_r[c].alias("cur_null_rate"),
+            F.round(cur_r[c] - base_r[c], round_to).alias("delta"),
+        )
+        for c in cols
+    ]
+    return j.select(F.explode(F.array(*entries)).alias("e")).select("e.*")

@@ -219,3 +219,72 @@ def reindex_turns(
     """
     w = _w(conv_col, order_by)
     return df.withColumn(new_col, (F.row_number().over(w) - 1).cast("int"))
+
+
+def conversation_report(
+    df: DataFrame,
+    conv_col: str,
+    idx_col: str,
+    state_col: str,
+    ts_col: str,
+    order_by: list[str],
+    allowed: set[tuple[str, str]],
+    allowed_first: set[str] | None = None,
+    start: int = 0,
+) -> DataFrame:
+    """Per-conversation health gate — the transcript analog of the
+    corpus Gopher gate: ONE row per conversation with every structural
+    violation count and a composite ``keep`` flag.
+
+    Output: (conv, n_turns, n_dup_idx, n_missing, n_below_start,
+    n_transition, n_null_state, n_ts_regression, n_first_state, keep).
+
+    Composition, not new math: the per-row rules are exactly
+    :func:`sequence_violations` (one window pass) and the density terms
+    exactly :func:`contiguity_report` (one partial-agg'd groupBy) — the
+    counts here hash-match those operators' oracles by construction.
+    Scale shape: one window shuffle + one |convs|-sized groupBy, then a
+    |convs| ⋈ |convs| join of the two summaries (sort-merge on the conv
+    key; both sides already reduced).  A downstream filter on ``keep``
+    is the conversation-level quarantine a 10^12-turn ingest needs
+    before per-turn rules even run.
+    """
+    rep = contiguity_report(df, conv_col, idx_col, start=start).withColumnRenamed(
+        "n_rows", "n_turns"
+    )
+    seq = sequence_violations(
+        df, conv_col, state_col, ts_col, order_by, allowed, allowed_first
+    )
+    counts = seq.groupBy(F.col(conv_col).alias("conv")).agg(
+        *[
+            F.sum(F.when(F.col("rule") == r, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{r}")
+            for r in ("transition", "null_state", "ts_regression", "first_state")
+        ]
+    )
+    joined = rep.join(counts, "conv", "left").fillna(
+        0,
+        subset=["n_transition", "n_null_state", "n_ts_regression", "n_first_state"],
+    )
+    keep = (
+        (F.col("n_dup_idx") == 0)
+        & (F.col("n_missing") == 0)
+        & (F.col("n_below_start") == 0)
+        & (F.col("n_transition") == 0)
+        & (F.col("n_null_state") == 0)
+        & (F.col("n_ts_regression") == 0)
+        & (F.col("n_first_state") == 0)
+    )
+    return joined.select(
+        "conv",
+        "n_turns",
+        "n_dup_idx",
+        "n_missing",
+        "n_below_start",
+        "n_transition",
+        "n_null_state",
+        "n_ts_regression",
+        "n_first_state",
+        keep.alias("keep"),
+    )

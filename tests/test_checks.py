@@ -756,3 +756,19 @@ def test_volume_anomalies_matches_python(spark):
     assert got[7].anomaly and got[7].ratio < 0.5    # crash
     # exact python twin for one window: w3 mean = (10+10+10)/3
     assert got[3].trailing_mean == 10.0 and got[3].ratio == 1.2
+
+
+def test_null_rate_drift_hand_checked(spark):
+    from cerberus_spark.checks.drift import null_rate_drift
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, "d")], "id long, x string"
+    )
+    cur = spark.createDataFrame(
+        [(5, None), (6, None), (7, "g"), (8, None)], "id long, x string"
+    )
+    rows = {r.column_name: r for r in null_rate_drift(base, cur, ["x", "id"]).collect()}
+    assert rows["x"].base_null_rate == 0.25
+    assert rows["x"].cur_null_rate == 0.75
+    assert rows["x"].delta == 0.5
+    assert rows["id"].delta == 0.0

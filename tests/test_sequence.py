@@ -252,3 +252,28 @@ def test_sequence_violations_is_one_window_shuffle(spark):
     )
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan and "Join" not in plan, plan
+
+
+def test_conversation_report_hand_checked(spark, seq_df):
+    """Composite per-conversation gate: counts must equal the
+    underlying contiguity/sequence operators on the pathology fixture;
+    only the clean conversation keeps."""
+    from cerberus_spark.checks.sequence import conversation_report
+
+    rep = {
+        r.conv: r
+        for r in conversation_report(
+            seq_df, "conv_id", "turn_idx", "role", "ts",
+            ["turn_idx", "ts"], GRAMMAR, FIRST,
+        ).collect()
+    }
+    a, b, c = rep["a"], rep["b"], rep["c"]
+    assert a.keep and a.n_turns == 4 and a.n_missing == 0
+    # b: gap at idx 2, dup idx 3, ts regression, bad first, 1 bad
+    # transition (user->user; order is by (turn_idx, ts))
+    assert not b.keep
+    assert b.n_dup_idx == 1 and b.n_missing == 1
+    assert b.n_first_state == 1 and b.n_transition >= 1
+    assert b.n_ts_regression == 1
+    # c: leading gap (starts at 2) -> missing 0,1; grammar clean
+    assert not c.keep and c.n_missing == 2 and c.n_transition == 0
