@@ -1859,6 +1859,30 @@ def q_lineitem_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contiguity_report(li, "l_orderkey", "l_linenumber", start=1)
 
 
+def q_normalize_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cerberus normalization phase (cerberus_spark/normalize.py):
+    rename + default + coercer chain + purge_unknown compiled to ONE
+    projection (zero shuffles) — validator.normalized() table-side.
+    String coercers only in the pair: numeric try_cast rounding differs
+    between engines (Spark truncates, DuckDB rounds) and is pytest-side."""
+    from cerberus_spark.normalize import normalize_documents
+
+    ev = _t(spark, sf_dir, "events")
+    return normalize_documents(
+        ev,
+        {
+            "event_type": {
+                "rename": "etype",
+                "default": "unknown",
+                "coerce": "upper",
+            },
+            "props": {"coerce": "strip"},
+        },
+        keys=("event_id",),
+        purge_unknown=True,
+    )
+
+
 def q_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column null-rate drift pre/post DRIFT_SPLIT
     (checks/drift.py:null_rate_drift): completeness counterpart of the
@@ -1967,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_drift": q_w1_drift,
         "conversation_gate": q_conversation_gate,
         "null_rate_drift": q_null_rate_drift,
+        "normalize_phase": q_normalize_phase,
         "validate_events": q_validate_events,
         "validate_docs": q_validate_docs,
         "validation_summary": q_validation_summary,
@@ -3718,6 +3743,12 @@ WITH b AS (
   SELECT count(*) AS c_n, {nr_c} FROM events WHERE ts >= TIMESTAMP '{DRIFT_SPLIT}'
 )
 {nr_rows}
+"""
+    out["normalize_phase"] = """
+SELECT event_id,
+       upper(coalesce(event_type, 'unknown')) AS etype,
+       trim(props) AS props
+FROM events
 """
     out["conversation_gate"] = f"""
 WITH ev AS (

@@ -314,3 +314,22 @@ def test_gopher_gate_is_shuffle_free_projection(spark):
     )
     plan = plan_of(df.select(gopher_filter_report(F.col("text")).alias("rep")))
     assert "Exchange" not in plan, plan
+
+
+def test_normalize_phase_is_shuffle_free_projection(spark):
+    """The Cerberus normalization phase (rename/default/coerce/purge)
+    must compile to a single projection over the scan — zero
+    exchanges."""
+    from cerberus_spark.normalize import normalize_documents
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(" X ").alias("role"), F.lit("j").alias("junk")
+    )
+    out = normalize_documents(
+        df,
+        {"role": {"rename": "speaker", "default": "u", "coerce": ["strip", "lower"]}},
+        keys=("id",),
+        purge_unknown=True,
+    )
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
