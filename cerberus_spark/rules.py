@@ -594,15 +594,50 @@ def _compile_items(
                 )
 
 
+def apply_validator_flags(
+    schema: dict[str, dict[str, Any]],
+    update: bool = False,
+    require_all: bool = False,
+) -> dict[str, dict[str, Any]]:
+    """Cerberus ``Validator`` flags expressed as a schema rewrite, so
+    the Spark compiler AND the python twin transform identically:
+
+    - ``require_all=True`` — fields without an explicit ``required``
+      entry become ``required: True`` (Validator(require_all=True));
+    - ``update=True`` — ``required`` rules are dropped entirely
+      (validate(..., update=True): partial documents are legal; wins
+      over require_all, as in Cerberus).
+    """
+    if not (update or require_all):
+        return schema
+    out: dict[str, dict[str, Any]] = {}
+    for fname, fr in schema.items():
+        if not isinstance(fr, dict):
+            out[fname] = fr  # preserved for the compiler's error path
+            continue
+        fr2 = dict(fr)
+        if require_all:
+            fr2.setdefault("required", True)
+        if update:
+            fr2.pop("required", None)
+        out[fname] = fr2
+    return out
+
+
 def compile_schema(
     schema: dict[str, dict[str, Any]],
     df_schema: T.StructType | None = None,
+    update: bool = False,
+    require_all: bool = False,
 ) -> CompiledRuleSet:
     """Compile a rule dict into violation predicates.
 
     ``df_schema`` enables compile-time checks: unknown fields and
     ``type`` mismatches become schema errors rather than per-row work.
+    ``update``/``require_all`` are the Cerberus Validator flags
+    (see :func:`apply_validator_flags`).
     """
+    schema = apply_validator_flags(schema, update=update, require_all=require_all)
     rules: list[CompiledRule] = []
     schema_errors: list[str] = []
     fields_by_name = {f.name: f for f in df_schema.fields} if df_schema else {}

@@ -166,9 +166,13 @@ class ValidationSession:
         df: DataFrame,
         schema: dict[str, dict[str, Any]],
         key_cols: list[str] | None = None,
+        update: bool = False,
+        require_all: bool = False,
     ) -> ValidationResult:
         key_cols = key_cols or []
-        ruleset = compile_schema(schema, df.schema)
+        ruleset = compile_schema(
+            schema, df.schema, update=update, require_all=require_all
+        )
         structs = ruleset.violation_structs()
         if structs:
             arr = F.array_compact(F.array(*structs))
@@ -184,6 +188,10 @@ def validate(
     df: DataFrame,
     schema: dict[str, dict[str, Any]],
     key_cols: list[str] | None = None,
+    update: bool = False,
+    require_all: bool = False,
 ) -> ValidationResult:
     """Convenience one-shot validate."""
-    return ValidationSession(df.sparkSession).validate(df, schema, key_cols)
+    return ValidationSession(df.sparkSession).validate(
+        df, schema, key_cols, update=update, require_all=require_all
+    )

@@ -393,3 +393,34 @@ def test_extended_vocab_unknown_rules_still_rejected(spark):
         compile_schema({"x": {"keysrules": {"schema": {}}}})
     with pytest.raises(SchemaError):
         compile_schema({"x": {"allof": []}})
+
+
+def test_validator_flags_update_and_require_all(spark):
+    """Cerberus Validator flags: require_all makes unspecified fields
+    required; update drops required entirely (and wins over
+    require_all) — identically in the Spark compiler and the python
+    twin, because both consume the same apply_validator_flags rewrite."""
+    from cerberus_spark.rules import apply_validator_flags, python_validate
+    from cerberus_spark.validation import validate
+
+    schema = {"a": {"type": "string"}, "b": {"type": "integer", "required": True}}
+    df = spark.createDataFrame([(None, None)], "a string, b int")
+
+    base = validate(df, schema, key_cols=[]).violations().collect()
+    assert {(r.field, r.rule) for r in base} == {("b", "required")}
+
+    ra = validate(df, schema, key_cols=[], require_all=True).violations().collect()
+    assert {(r.field, r.rule) for r in ra} == {("a", "required"), ("b", "required")}
+
+    up = validate(df, schema, key_cols=[], update=True, require_all=True)
+    assert up.violations().count() == 0
+
+    # twin parity through the same rewrite
+    row = {"a": None, "b": None}
+    assert [
+        (f, r) for f, r, _ in python_validate(row, apply_validator_flags(schema, require_all=True))
+    ] == [("a", "required"), ("b", "required")]
+    assert (
+        python_validate(row, apply_validator_flags(schema, update=True, require_all=True))
+        == []
+    )
