@@ -168,11 +168,21 @@ class ValidationSession:
         key_cols: list[str] | None = None,
         update: bool = False,
         require_all: bool = False,
+        allow_unknown: bool = True,
     ) -> ValidationResult:
         key_cols = key_cols or []
         ruleset = compile_schema(
             schema, df.schema, update=update, require_all=require_all
         )
+        if not allow_unknown:
+            # Cerberus Validator(allow_unknown=False): fields outside the
+            # schema invalidate the document.  Columns are compile-time
+            # knowledge in a table, so this is a schema error (fail-fast),
+            # never per-row work; key columns are exempt (they identify
+            # the document, Cerberus documents don't carry their keys).
+            for c in df.columns:
+                if c not in schema and c not in key_cols:
+                    ruleset.schema_errors.append(f"unknown field {c!r}")
         structs = ruleset.violation_structs()
         if structs:
             arr = F.array_compact(F.array(*structs))
@@ -190,8 +200,14 @@ def validate(
     key_cols: list[str] | None = None,
     update: bool = False,
     require_all: bool = False,
+    allow_unknown: bool = True,
 ) -> ValidationResult:
     """Convenience one-shot validate."""
     return ValidationSession(df.sparkSession).validate(
-        df, schema, key_cols, update=update, require_all=require_all
+        df,
+        schema,
+        key_cols,
+        update=update,
+        require_all=require_all,
+        allow_unknown=allow_unknown,
     )

@@ -86,3 +86,17 @@ def test_parallelism_invariance(spark):
     a = generate_transcripts(spark, 300, partitions=2)
     b = generate_transcripts(spark, 300, partitions=16)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_allow_unknown_false_flags_extra_columns(spark):
+    """Cerberus Validator(allow_unknown=False): fields outside the
+    schema invalidate the input — a compile-time schema error in the
+    table world (columns are static), with key columns exempt."""
+    from cerberus_spark.validation import validate
+
+    df = spark.createDataFrame([(1, "u", "x")], "id long, role string, junk string")
+    schema = {"role": {"type": "string"}}
+    ok = validate(df, schema, key_cols=["id"])
+    assert ok.schema_errors == []
+    bad = validate(df, schema, key_cols=["id"], allow_unknown=False)
+    assert bad.schema_errors == ["unknown field 'junk'"]
