@@ -42,6 +42,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="also cut shared verbatim runs >= --min-run chars "
                    "from the later duplicate (winnowing + span removal)")
     p.add_argument("--min-run", type=int, default=50)
+    p.add_argument("--incremental", action="store_true",
+                   help="stream --input via availableNow: per-doc stages run "
+                   "per micro-batch into --work-dir, corpus stages run once "
+                   "at compaction (same results as batch mode — tested)")
+    p.add_argument("--work-dir", default=None,
+                   help="incremental-mode work tables (default <sink>/_work)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="incremental-mode micro-batch size in input files")
     p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
     args = p.parse_args(argv)
 
@@ -58,21 +66,51 @@ def main(argv: list[str] | None = None) -> int:
     from cerberus_spark.corpus import clean_corpus
 
     docs = spark.read.parquet(args.input)
-    outs = clean_corpus(
-        docs,
-        text_col=args.text_col,
-        id_col=args.id_col,
-        normalize=not args.no_normalize,
-        quality_kwargs={
-            "min_tokens": args.min_tokens,
-            "max_dup_word_milli": args.max_dup_word_milli,
-            "max_top_word_milli": args.max_top_word_milli,
-            "min_quality_milli": args.min_quality_milli,
-        },
-        bucket_cap=args.bucket_cap,
-        substring_removal=args.substring_removal,
-        min_run=args.min_run,
-    )
+    quality_kwargs = {
+        "min_tokens": args.min_tokens,
+        "max_dup_word_milli": args.max_dup_word_milli,
+        "max_top_word_milli": args.max_top_word_milli,
+        "min_quality_milli": args.min_quality_milli,
+    }
+    if args.incremental:
+        if args.substring_removal:
+            p.error("--substring-removal is batch-mode only")
+        from cerberus_spark.corpus import compact_corpus, ingest_corpus_increment
+
+        work = args.work_dir or f"{args.sink}/_work"
+        reader = spark.readStream.schema(docs.schema)
+        if args.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        q = (
+            reader.parquet(args.input)
+            .writeStream.foreachBatch(
+                lambda b, _bid: ingest_corpus_increment(
+                    b, work,
+                    text_col=args.text_col, id_col=args.id_col,
+                    normalize=not args.no_normalize,
+                    quality_kwargs=quality_kwargs,
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        outs = compact_corpus(
+            spark, work,
+            text_col=args.text_col, id_col=args.id_col,
+            bucket_cap=args.bucket_cap,
+        )
+    else:
+        outs = clean_corpus(
+            docs,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            normalize=not args.no_normalize,
+            quality_kwargs=quality_kwargs,
+            bucket_cap=args.bucket_cap,
+            substring_removal=args.substring_removal,
+            min_run=args.min_run,
+        )
     outs["kept"].write.mode("overwrite").parquet(f"{args.sink}/kept")
     outs["dropped"].write.mode("overwrite").parquet(f"{args.sink}/dropped")
     outs["report"].write.mode("overwrite").parquet(f"{args.sink}/report")

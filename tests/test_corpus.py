@@ -146,3 +146,22 @@ def test_incremental_corpus_matches_batch(spark, corpus, tmp_path):
     assert {
         (r.stage, r.reason, r.n_docs) for r in inc["report"].collect()
     } == {(r.stage, r.reason, r.n_docs) for r in batch["report"].collect()}
+
+
+def test_corpus_job_cli_incremental(spark, corpus, tmp_path):
+    """--incremental CLI path: stream-ingest + compact writes the same
+    sink layout and keeps the same ids as batch mode."""
+    from jobs.corpus_job import main
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    corpus.repartition(2).write.parquet(src)
+    rc = main([
+        "--input", src, "--sink", sink, "--incremental",
+        "--max-files-per-trigger", "1",
+        "--max-dup-word-milli", "300",
+    ])
+    assert rc == 0
+    kept = {r.doc_id for r in spark.read.parquet(f"{sink}/kept").collect()}
+    batch = clean_corpus(corpus)
+    assert kept == {r.doc_id for r in batch["kept"].collect()}
