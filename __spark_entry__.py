@@ -1068,23 +1068,17 @@ def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher character-coverage n-gram rules at k=3 (functions/text.py
-    top_ngram_char_milli / dup_ngram_char_milli): permille of
+    """Gopher character-coverage n-gram rules at k=3: permille of
     normalized-text characters covered by the most frequent 3-gram and
-    by all duplicated 3-grams — per-row fold arithmetic, zero shuffles
-    (the SQL twin replays via unnest+count, ties on count take the
-    longest gram in BOTH engines)."""
-    from cerberus_spark.functions.text import (
-        dup_ngram_char_milli,
-        top_ngram_char_milli,
-    )
+    by all duplicated 3-grams (ties on count take the longest gram in
+    BOTH engines).  r4: served by the single-pass Arrow scan
+    (repetition_metrics, bit-parity-locked vs the columnar folds —
+    the SQL twin replays via unnest+count)."""
+    from cerberus_spark.functions.text import repetition_metrics
 
-    docs = spread(_t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        top_ngram_char_milli(t, 3).alias("top_3gram_char_milli"),
-        dup_ngram_char_milli(t, 3).alias("dup_3gram_char_milli"),
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "text", "doc_id", char_ks=(3,)).select(
+        "doc_id", "top_3gram_char_milli", "dup_3gram_char_milli"
     )
 
 
@@ -1799,21 +1793,16 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-document repetition filters: duplicate-word,
-    top-word, and duplicate-2-gram permille — pure per-row array
-    arithmetic, zero shuffles (the 100 TB corpus-scan shape)."""
-    from cerberus_spark.functions.text import (
-        dup_2gram_milli,
-        dup_word_milli,
-        top_word_milli,
-    )
+    top-word, and duplicate-2-gram permille.  r4: served by the
+    single-pass Arrow scan (functions/text.py:repetition_metrics,
+    pytest-locked bit-identical to the columnar folds, 36x faster at
+    sf0.1 — interpreted HOF folds re-inline the tokenize pipeline per
+    metric); the columnar family remains the gate-composition path."""
+    from cerberus_spark.functions.text import repetition_metrics
 
-    docs = spread(_t(spark, sf_dir, "documents"))
-    t = F.col("text")
-    return docs.select(
-        "doc_id",
-        dup_word_milli(t).alias("dup_word_milli"),
-        top_word_milli(t).alias("top_word_milli"),
-        dup_2gram_milli(t).alias("dup_2gram_milli"),
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "text", "doc_id").select(
+        "doc_id", "dup_word_milli", "top_word_milli", "dup_2gram_milli"
     )
 
 
@@ -1987,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_gate": q_gopher_gate,
         "merge_intervals": q_merge_intervals,
         "ngram_repetition": q_ngram_repetition,
+        "doc_repetition": q_doc_repetition,
         "ivf_topk_probes": q_ivf_topk_probes,
         "w1_drift": q_w1_drift,
         "conversation_gate": q_conversation_gate,
@@ -2061,7 +2051,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reindex_turns": q_reindex_turns,
         "topk_sketch": q_topk_sketch,
         "contamination": q_contamination,
-        "doc_repetition": q_doc_repetition,
         "mixture_resample": q_mixture_resample,
         "validate_nested": q_validate_nested,
         "sketch_quantiles": q_sketch_quantiles,

@@ -472,3 +472,87 @@ def gopher_filter_report(
     return F.struct(
         (F.size(reasons) == 0).alias("keep"), reasons.alias("reasons")
     )
+
+
+def repetition_metrics(
+    df,
+    text_col: str,
+    id_col: str,
+    char_ks: tuple[int, ...] = (),
+):
+    """ALL the repetition signals in ONE Arrow pass:
+    (id, dup_word_milli, top_word_milli, dup_2gram_milli
+    [, top_{k}gram_char_milli, dup_{k}gram_char_milli per k]).
+
+    The columnar functions above stay the oracle/compositional path
+    (pure Catalyst, usable inside ``gopher_filter_report``); this is
+    the corpus-scan hot path: higher-order array folds are interpreted
+    (never codegen'd) and CollapseProject re-inlines the
+    normalize+split+sort pipeline once PER METRIC, so a 3-signal scan
+    pays ~3× the tokenization plus interpreted fold overhead.  One
+    vectorized pandas batch computes every signal from one Counter per
+    document — measured 36× faster on the 5k-doc sf0.1 corpus, 18.3s → 0.50s for the 5-signal scan (see
+    BASELINE.md §Corpus-cleaning).  Bit-parity with the columnar
+    functions is pytest-locked (same ASCII-whitespace normalization,
+    same Spark ``split`` edge semantics, same tie rules).
+    """
+    import pandas as pd
+
+    from cerberus_spark.operators.dedup import _normalize_py
+    from cerberus_spark.sources.tables import spread
+
+    ks = tuple(char_ks)
+
+    def one(text):
+        # mirror the COLUMNAR semantics exactly:
+        # - NULL text -> every metric NULL (F.size(NULL) is NULL)
+        # - normalize_text("") == "" and Spark split("", " ") == [""] —
+        #   python "".split(" ") is also [""], so n >= 1 for non-null
+        if text is None:
+            return (None,) * (3 + 2 * len(ks))
+        from collections import Counter
+        from math import floor
+
+        words = _normalize_py(text).split(" ")
+        n = len(words)
+        wc = Counter(words)
+        dup_w = floor(1000 * (n - len(wc)) / n)
+        top_w = floor(1000 * max(wc.values()) / n)
+        if n >= 2:
+            g2 = [words[i] + " " + words[i + 1] for i in range(n - 1)]
+            dup_2 = floor(1000 * (len(g2) - len(set(g2))) / len(g2))
+        else:
+            dup_2 = None
+        out = [dup_w, top_w, dup_2]
+        total = len(" ".join(words))
+        for k in ks:
+            if n < k or total == 0:
+                out += [None, None]
+                continue
+            gc = Counter(
+                " ".join(words[i : i + k]) for i in range(n - k + 1)
+            )
+            top_cnt = max(gc.values())
+            top_len = max(len(g) for g, c in gc.items() if c == top_cnt)
+            out.append(floor(1000 * top_cnt * top_len / total))
+            dupchars = sum(c * len(g) for g, c in gc.items() if c > 1)
+            out.append(floor(1000 * dupchars / total))
+        return tuple(out)
+
+    names = ["dup_word_milli", "top_word_milli", "dup_2gram_milli"]
+    for k in ks:
+        names += [f"top_{k}gram_char_milli", f"dup_{k}gram_char_milli"]
+
+    def compute(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue  # empty pandas yields break the Arrow cast
+            vals = [one(t) for t in b[text_col]]
+            data = {id_col: b[id_col]}
+            for i, nm in enumerate(names):
+                data[nm] = pd.array([v[i] for v in vals], dtype="Int64")
+            yield pd.DataFrame(data)
+
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = ", ".join([f"{id_col} {id_t}"] + [f"{nm} long" for nm in names])
+    return spread(df.select(id_col, text_col)).mapInPandas(compute, schema=schema)

@@ -375,3 +375,49 @@ def test_gopher_gate_ngram_char_rules(spark):
     assert "top_3gram_chars" not in base.reasons
     assert "top_3gram_chars" in gated.reasons
     assert "dup_5gram_chars" in gated.reasons
+
+
+def test_repetition_metrics_arrow_bit_identical_to_columnar(spark):
+    """The single-pass Arrow repetition scan must be BIT-identical to
+    the columnar fold family on edge cases (empty, blank, null, short,
+    repeated) AND on real testdata documents — same normalization, same
+    Spark split("") semantics, same tie rules."""
+    from cerberus_spark.functions.text import (
+        dup_2gram_milli,
+        dup_ngram_char_milli,
+        dup_word_milli,
+        repetition_metrics,
+        top_ngram_char_milli,
+        top_word_milli,
+    )
+
+    edge = [
+        (0, "the cat sat on the mat the cat sat"),
+        (1, ""),
+        (2, "   "),
+        (3, None),
+        (4, "one"),
+        (5, "a b"),
+        (6, ("spam ham " * 40).strip()),
+        (7, "Mixed   CASE \t and   spacing  mixed case and spacing"),
+    ]
+    df = spark.createDataFrame(edge, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(200)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    t = F.col("text")
+    cols = df.select(
+        "doc_id",
+        dup_word_milli(t).alias("dup_word_milli"),
+        top_word_milli(t).alias("top_word_milli"),
+        dup_2gram_milli(t).alias("dup_2gram_milli"),
+        top_ngram_char_milli(t, 3).alias("top_3gram_char_milli"),
+        dup_ngram_char_milli(t, 3).alias("dup_3gram_char_milli"),
+    )
+    want = {r.doc_id: r.asDict() for r in cols.collect()}
+    got = {
+        r.doc_id: r.asDict()
+        for r in repetition_metrics(df, "text", "doc_id", char_ks=(3,)).collect()
+    }
+    assert got == want
