@@ -40,6 +40,7 @@ def clean_corpus(
     winnow_w: int = 8,
     min_run: int = 50,
     checkpoint_stages: bool = True,
+    arrow_gate: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns lazy DataFrames:
 
@@ -50,6 +51,13 @@ def clean_corpus(
 
     Survivor convention: smallest id in every exact/near-dup group
     keeps (same as ``dedup_clusters``).
+
+    ``arrow_gate`` (default True): serve the quality gate from the
+    single-pass Arrow twin (functions/text.py:gopher_report_arrow,
+    bit-parity-locked vs the columnar gate) — the gate is the one
+    projection paid on the FULL corpus, and the columnar fold family
+    re-inlines tokenization per signal at interpreter speed.  Set False
+    to run the pure-Catalyst gate (the oracle-gated composition).
     """
     from cerberus_spark.functions.text import gopher_filter_report, normalize_unicode
     from cerberus_spark.operators.dedup import (
@@ -64,10 +72,19 @@ def clean_corpus(
     if normalize:
         base = base.withColumn(text_col, normalize_unicode(text_col))
 
-    # --- stage 1: quality gate (one projection) ----------------------
-    gated = base.withColumn(
-        "_gate", gopher_filter_report(F.col(text_col), **(quality_kwargs or {}))
-    )
+    # --- stage 1: quality gate (one projection / one Arrow pass) -----
+    if arrow_gate:
+        from cerberus_spark.functions.text import gopher_report_arrow
+
+        gated = gopher_report_arrow(base, text_col, **(quality_kwargs or {}))
+        gated = gated.withColumn(
+            "_gate",
+            F.struct(F.col("keep").alias("keep"), F.col("reasons").alias("reasons")),
+        ).drop("keep", "reasons")
+    else:
+        gated = base.withColumn(
+            "_gate", gopher_filter_report(F.col(text_col), **(quality_kwargs or {}))
+        )
     if checkpoint_stages:
         # the lineage BRANCHES below (kept vs quality_drops, then the
         # exact-dedup self-join, signatures, and the final anti-join):
@@ -174,7 +191,7 @@ def ingest_corpus_increment(
     """
     import os
 
-    from cerberus_spark.functions.text import gopher_filter_report, normalize_unicode
+    from cerberus_spark.functions.text import gopher_report_arrow, normalize_unicode
     from cerberus_spark.operators.dedup import (
         md5_i64,
         minhash_signatures,
@@ -184,9 +201,17 @@ def ingest_corpus_increment(
     base = batch
     if normalize:
         base = base.withColumn(text_col, normalize_unicode(text_col))
-    gated = base.withColumn(
-        "_gate", gopher_filter_report(F.col(text_col), **(quality_kwargs or {}))
-    ).localCheckpoint(eager=False)
+    # same Arrow gate as clean_corpus(arrow_gate=True) — parity-locked
+
+    gated = (
+        gopher_report_arrow(base, text_col, **(quality_kwargs or {}))
+        .withColumn(
+            "_gate",
+            F.struct(F.col("keep").alias("keep"), F.col("reasons").alias("reasons")),
+        )
+        .drop("keep", "reasons")
+        .localCheckpoint(eager=False)
+    )
 
     gated.filter(~F.col("_gate.keep")).select(
         F.col(id_col).alias("id"),

@@ -556,3 +556,132 @@ def repetition_metrics(
     id_t = df.schema[id_col].dataType.simpleString()
     schema = ", ".join([f"{id_col} {id_t}"] + [f"{nm} long" for nm in names])
     return spread(df.select(id_col, text_col)).mapInPandas(compute, schema=schema)
+
+
+def _py_token_count_ws(text: str) -> int:
+    """Python twin of token_count_ws, replicating Spark exactly:
+    F.trim strips SPACES only; Java split keeps leading empty strings
+    and drops trailing ones; Java \\s is ASCII."""
+    import re
+
+    t = text.strip(" ")
+    if t == "":
+        return 0
+    parts = re.split("[ \t\n\x0b\x0c\r]+", t)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return len(parts)
+
+
+_PY_PUNCT_RE = None
+_PY_SW_RE = None
+
+
+def _py_quality_milli(text: str) -> int:
+    """Python twin of quality_score_milli — ASCII regex classes match
+    Java's default (non-UNICODE_CHARACTER_CLASS) semantics."""
+    global _PY_PUNCT_RE, _PY_SW_RE
+    import re
+
+    if _PY_PUNCT_RE is None:
+        _PY_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
+        _PY_SW_RE = re.compile(
+            r"\b(" + "|".join(STOPWORDS_EN) + r")\b", re.ASCII
+        )
+    n = len(text)
+    pc = len(_PY_PUNCT_RE.findall(text))
+    ntok = _py_token_count_ws(text)
+    sw = len(_PY_SW_RE.findall(text.lower()))
+    length_ok = 400 if 20 <= n <= 20000 else 0
+    punct_part = 300 if n == 0 else (600 * (n - pc) + n) // (2 * n)
+    sw_part = 0 if ntok == 0 else (600 * min(5 * sw, ntok) + ntok) // (2 * ntok)
+    return length_ok + punct_part + sw_part
+
+
+def gopher_report_arrow(
+    df,
+    text_col: str,
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    max_dup_word_milli: int = 300,
+    max_top_word_milli: int = 200,
+    max_dup_2gram_milli: int = 200,
+    min_quality_milli: int = 500,
+    max_top_ngram_char_milli: dict[int, int] | None = None,
+    max_dup_ngram_char_milli: dict[int, int] | None = None,
+):
+    """Arrow twin of :func:`gopher_filter_report` for the corpus-scan
+    hot path: every signal (token budget, repetition millis, quality
+    score, optional k-gram character caps) computed from ONE pass per
+    document instead of per-signal interpreted folds (the same
+    CollapseProject economics as :func:`repetition_metrics` — and the
+    quality gate is exactly the projection `clean_corpus` pays on the
+    FULL corpus).  Emits all input columns plus ``keep`` boolean and
+    ``reasons`` array<string> (same names, order and NULL semantics as
+    the columnar gate — a NULL text trips no predicate and keeps, as in
+    Cerberus where absent means not-invalid; bit-parity is
+    pytest-locked).
+    """
+    import pandas as pd
+
+    from cerberus_spark.operators.dedup import _normalize_py
+
+    top_ks = dict(sorted((max_top_ngram_char_milli or {}).items()))
+    dup_ks = dict(sorted((max_dup_ngram_char_milli or {}).items()))
+
+    def reasons_for(text):
+        if text is None:
+            return []
+        from collections import Counter
+        from math import floor
+
+        out = []
+        ntok = _py_token_count_ws(text)
+        if ntok < min_tokens:
+            out.append("too_short")
+        if ntok > max_tokens:
+            out.append("too_long")
+        words = _normalize_py(text).split(" ")
+        n = len(words)
+        wc = Counter(words)
+        if floor(1000 * (n - len(wc)) / n) > max_dup_word_milli:
+            out.append("dup_words")
+        if floor(1000 * max(wc.values()) / n) > max_top_word_milli:
+            out.append("top_word_dominates")
+        if n >= 2:
+            g2 = [words[i] + " " + words[i + 1] for i in range(n - 1)]
+            if floor(1000 * (len(g2) - len(set(g2))) / len(g2)) > max_dup_2gram_milli:
+                out.append("dup_2grams")
+        if _py_quality_milli(text) < min_quality_milli:
+            out.append("low_quality")
+        total = len(" ".join(words))
+        for k, thr in top_ks.items():
+            if n >= k and total > 0:
+                gc = Counter(" ".join(words[i : i + k]) for i in range(n - k + 1))
+                tc = max(gc.values())
+                tl = max(len(g) for g, c in gc.items() if c == tc)
+                if floor(1000 * tc * tl / total) > thr:
+                    out.append(f"top_{k}gram_chars")
+        for k, thr in dup_ks.items():
+            if n >= k and total > 0:
+                gc = Counter(" ".join(words[i : i + k]) for i in range(n - k + 1))
+                d = sum(c * len(g) for g, c in gc.items() if c > 1)
+                if floor(1000 * d / total) > thr:
+                    out.append(f"dup_{k}gram_chars")
+        return out
+
+    in_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+
+    def compute(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue  # empty pandas yields break the Arrow cast
+            rs = [reasons_for(t) for t in b[text_col]]
+            b = b.copy()
+            b["reasons"] = rs
+            b["keep"] = [len(r) == 0 for r in rs]
+            yield b
+
+    return df.mapInPandas(
+        compute, schema=f"{in_schema}, reasons array<string>, keep boolean"
+    )

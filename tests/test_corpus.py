@@ -165,3 +165,16 @@ def test_corpus_job_cli_incremental(spark, corpus, tmp_path):
     kept = {r.doc_id for r in spark.read.parquet(f"{sink}/kept").collect()}
     batch = clean_corpus(corpus)
     assert kept == {r.doc_id for r in batch["kept"].collect()}
+
+
+def test_clean_corpus_arrow_gate_equals_columnar_gate(spark, corpus):
+    """arrow_gate=True (the hot path) and the pure-Catalyst gate must
+    produce identical kept/dropped outputs."""
+    a = clean_corpus(corpus, arrow_gate=True)
+    c = clean_corpus(corpus, arrow_gate=False)
+    assert sorted(r.doc_id for r in a["kept"].collect()) == sorted(
+        r.doc_id for r in c["kept"].collect()
+    )
+    assert {(r.id, r.stage, r.reason) for r in a["dropped"].collect()} == {
+        (r.id, r.stage, r.reason) for r in c["dropped"].collect()
+    }

@@ -421,3 +421,48 @@ def test_repetition_metrics_arrow_bit_identical_to_columnar(spark):
         for r in repetition_metrics(df, "text", "doc_id", char_ks=(3,)).collect()
     }
     assert got == want
+
+
+def test_gopher_report_arrow_bit_identical_to_columnar(spark):
+    """Arrow gate twin must reproduce the columnar gate's keep flag and
+    reasons list EXACTLY (same order, same NULL-keeps semantics) on
+    edge cases and real documents, with the k-gram caps enabled."""
+    from cerberus_spark.functions.text import (
+        gopher_filter_report,
+        gopher_report_arrow,
+    )
+
+    edge = [
+        (0, "the cat sat on the mat " * 10),
+        (1, ""),
+        (2, " \t "),
+        (3, None),
+        (4, "word " * 60),
+        (5, ("spam " * 80).strip()),
+        (6, "a b " * 100),
+    ]
+    df = spark.createDataFrame(edge, "doc_id long, text string").unionByName(
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .limit(150)
+        .select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    kw = dict(
+        max_top_ngram_char_milli={2: 200, 3: 180},
+        max_dup_ngram_char_milli={5: 150},
+    )
+    rep = gopher_filter_report(F.col("text"), **kw)
+    want = {
+        r.doc_id: (r.keep, list(r.reasons))
+        for r in df.select(
+            "doc_id",
+            rep.getField("keep").alias("keep"),
+            rep.getField("reasons").alias("reasons"),
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.keep, list(r.reasons))
+        for r in gopher_report_arrow(df, "text", **kw).select(
+            "doc_id", "keep", "reasons"
+        ).collect()
+    }
+    assert got == want
