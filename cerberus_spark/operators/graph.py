@@ -42,6 +42,7 @@ def connected_components(
     dst: str = "id_b",
     max_iters: int = 20,
     checkpoint_dir: str | None = None,
+    driver_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``;
     cluster_id = smallest node id in the component (deterministic).
@@ -52,6 +53,19 @@ def connected_components(
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     reliable ``checkpoint()`` into that directory (survives executor
     loss — the cluster-scale mode) instead of ``localCheckpoint()``.
+
+    ``driver_threshold``: adaptive small-graph fast path (the AQE
+    philosophy — pick the physical strategy from the runtime size).
+    Candidate-pair graphs are typically ORDERS smaller than the corpus
+    (capped LSH buckets emit few edges), while each distributed
+    label-propagation round costs a fixed multi-job overhead that
+    dwarfs the work on a small graph.  When the materialized edge list
+    has ≤ threshold edges (one cheap count on the already-checkpointed
+    edges), components are solved with a driver-side union-find in
+    milliseconds and shipped back as a DataFrame — byte-identical
+    labels (min id per component).  Graphs over the threshold run the
+    distributed iteration unchanged; ``None`` disables the fast path.
+    The default (2M edges, ~tens of MB) is driver-safe by construction.
     """
     if checkpoint_dir is not None:
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -66,6 +80,8 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     )
+    if driver_threshold is not None and sym.count() <= 2 * driver_threshold:
+        return _driver_components(sym, edges, src)
     labels = _ckpt(
         sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
@@ -106,16 +122,56 @@ def connected_components(
     )
 
 
+def _driver_components(sym: DataFrame, edges: DataFrame, src: str) -> DataFrame:
+    """Union-find over a collected small edge list; labels = min id per
+    component — the exact fixpoint the distributed iteration reaches."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in sym.toLocalIterator():
+        a, b = row[0], row[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the root is always the smallest id seen
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    rows = [(x, find(x)) for x in parent]
+    from pyspark.sql import types as T
+
+    id_t = edges.schema[src].dataType
+    schema = T.StructType(
+        [T.StructField("id", id_t, False), T.StructField("cluster_id", id_t, False)]
+    )
+    return edges.sparkSession.createDataFrame(rows, schema)
+
+
 def dedup_clusters(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint_dir: str | None = None,
+    driver_threshold: int | None = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id, csize, keep) per clustered doc: components over
     the candidate pairs, cluster size, and the canonical-survivor flag
     (smallest id in the cluster — the row a dedup pass would keep)."""
-    cc = connected_components(edges, src, dst, checkpoint_dir=checkpoint_dir)
+    cc = connected_components(
+        edges, src, dst,
+        checkpoint_dir=checkpoint_dir,
+        driver_threshold=driver_threshold,
+    )
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("csize"))
     return cc.join(sizes, "cluster_id").select(
         "id",

@@ -27,7 +27,7 @@ def test_components_chain_diameter(spark):
 def test_components_nonconvergence_raises(spark):
     e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(e, max_iters=1)
+        connected_components(e, max_iters=1, driver_threshold=None)
 
 
 def test_dedup_clusters_survivor_flags(spark):
@@ -51,7 +51,7 @@ def test_path_graph_converges_logarithmically(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(128)], "id_a long, id_b long"
     )
-    cc = connected_components(edges, max_iters=12)
+    cc = connected_components(edges, max_iters=12, driver_threshold=None)
     got = {r.id: r.cluster_id for r in cc.collect()}
     assert got == {i: 0 for i in range(129)}
 
@@ -69,16 +69,42 @@ def test_components_reliable_checkpoint_mode(spark, tmp_path):
         [(1, 2), (2, 3), (10, 11), (30, 30)], "id_a long, id_b long"
     )
     ckdir = str(tmp_path / "cc_ckpt")
-    local = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    local = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, driver_threshold=None).collect()
+    }
     reliable = {
         r.id: r.cluster_id
-        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+        for r in connected_components(
+            edges, checkpoint_dir=ckdir, driver_threshold=None
+        ).collect()
     }
     assert reliable == local
     assert any(os.scandir(ckdir)), "no checkpoint data written"
     # pass-through on the clustering wrapper
     dk = {
         (r.id, r.cluster_id, r.csize, r.keep)
-        for r in dedup_clusters(edges, checkpoint_dir=ckdir).collect()
+        for r in dedup_clusters(
+            edges, checkpoint_dir=ckdir, driver_threshold=None
+        ).collect()
     }
     assert (1, 1, 3, True) in dk and (3, 1, 3, False) in dk
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_driver_fast_path_equals_iterative(spark, seed):
+    """The adaptive driver union-find must produce byte-identical
+    labels to the distributed iteration on random graphs (chains,
+    cliques, singleton self-loops, forests)."""
+    import random
+
+    rng = random.Random(seed)
+    nodes = list(range(60))
+    e = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(80)]
+    edges = _edges(spark, e)
+    fast = {r.id: r.cluster_id for r in connected_components(edges).collect()}
+    slow = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, driver_threshold=None).collect()
+    }
+    assert fast == slow
