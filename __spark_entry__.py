@@ -1172,6 +1172,44 @@ def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-doc-per-duplicate-cluster: MinHash LSH pairs ->
+    connected components -> per cluster the LONGEST member survives
+    (max n_chars, ties to min doc_id) — the explicit quality policy a
+    dedup pass applies when picking which near-identical copy to keep,
+    vs dedup_clusters' positional min-id flag.  One extra equi-join +
+    one partial-aggregable groupBy on top of the cluster pass."""
+    from cerberus_spark.operators.graph import cluster_representatives, dedup_clusters
+
+    docs = spread(_t(spark, sf_dir, "documents"))
+    sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=3)
+    cand = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
+    clusters = dedup_clusters(cand).select("id", "cluster_id")
+    return cluster_representatives(
+        clusters, _t(spark, sf_dir, "documents"), "doc_id", "n_chars"
+    )
+
+
+def q_sequence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup: fingerprint each (user, day)
+    conversation's ORDERED event_type sequence and emit fingerprints
+    shared by >1 conversation — duplicate whole conversations that
+    per-turn fingerprinting cannot see.  One groupBy(conv) shuffle +
+    one |convs|-row groupBy(fp); the render (array_sort + transform +
+    array_join) stays codegen inside the first aggregate."""
+    from cerberus_spark.operators.dedup import sequence_dup_groups
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "conv_key",
+        F.concat_ws(
+            "|",
+            F.col("user_id").cast("string"),
+            F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
+        ),
+    )
+    return sequence_dup_groups(ev, "conv_key", ["ts", "event_id"], "event_type")
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate documents
     (MinHash LSH pairs -> connected components) share a duplicate
@@ -1998,12 +2036,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_user": q_topk_per_user,
         "sessionize": q_sessionize,
         "session_window_stats": q_session_window_stats,
-        "embedding_norms": q_embedding_norms,
-        "enrich_lookup": q_enrich_lookup,
+        # (a)-late: connected_components gained the driver union-find
+        # fast path after the r4 rotation — both CC consumers re-enter
+        # the window; embedding_norms / enrich_lookup (unchanged,
+        # trivial shapes, r2-gated) rotate to the tail to make room.
+        "winnow_clusters": q_winnow_clusters,
+        "leak_safe_split": q_leak_safe_split,
         "ivf_topk": q_ivf_topk,
         "stream_validate": q_stream_validate,
-        "salted_label_counts": q_salted_label_counts,
-        "semi_join_flag": q_semi_join_flag,
+        # (b)-late: never-gated pairs added after the r4 rotation;
+        # salted_label_counts / semi_join_flag (unchanged, trivial
+        # shapes, r2-gated) rotate to the tail to make room.
+        "cluster_reps": q_cluster_reps,
+        "sequence_dups": q_sequence_dups,
         "extract_props_k": q_extract_props_k,
         "multimodal_features": q_multimodal_features,
         "doc_quality": q_doc_quality,
@@ -2034,7 +2079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_counts": q_hopping_counts,
         "bloom_semi_join": q_bloom_semi_join,
         "stream_hopping": q_stream_hopping,
-        "winnow_clusters": q_winnow_clusters,
+        "embedding_norms": q_embedding_norms,
         "windowed_chi2": q_windowed_chi2,
         "volume_anomaly": q_volume_anomaly,
         "cap_per_domain": q_cap_per_domain,
@@ -2064,7 +2109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "interval_join_campaigns": q_interval_join,
         "hash_split": q_hash_split,
-        "leak_safe_split": q_leak_safe_split,
+        "enrich_lookup": q_enrich_lookup,
+        "salted_label_counts": q_salted_label_counts,
+        "semi_join_flag": q_semi_join_flag,
         "stratified_sample": q_stratified_sample,
         "vocab_stats": q_vocab_stats,
         "stream_tumbling": q_stream_tumbling,
@@ -3415,6 +3462,44 @@ cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
 sizes AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY cluster_id)
 SELECT cc.id, cc.cluster_id, s.csize, (cc.id = cc.cluster_id) AS keep
 FROM cc JOIN sizes s USING (cluster_id)
+"""
+    out["cluster_reps"] = f"""
+WITH RECURSIVE cand AS ({minhash_cand_sql}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM cand
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM cand
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+j AS (
+  SELECT cc.id, cc.cluster_id, d.n_chars
+  FROM cc JOIN documents d ON d.doc_id = cc.id
+),
+r AS (
+  SELECT cluster_id, id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, id ASC) AS rn,
+         count(*) OVER (PARTITION BY cluster_id) AS csize
+  FROM j
+)
+SELECT cluster_id, id AS rep_id, csize::BIGINT AS csize, n_chars AS rep_quality
+FROM r WHERE rn = 1
+"""
+    out["sequence_dups"] = """
+WITH fp AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS key,
+         ('0x' || substr(md5(string_agg(coalesce(event_type, ''), chr(31)
+             ORDER BY ts, event_id, coalesce(event_type, ''))), 1, 15))::BIGINT AS seq_fp,
+         count(*)::BIGINT AS n_items
+  FROM events GROUP BY 1
+)
+SELECT seq_fp, count(*)::BIGINT AS n_keys, min(n_items) AS n_items,
+       string_agg(key, ',' ORDER BY key) AS keys
+FROM fp GROUP BY seq_fp HAVING count(*) > 1
 """
     out["winnow_clusters"] = f"""
 WITH RECURSIVE cand AS ({winnow_sql}),

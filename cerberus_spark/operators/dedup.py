@@ -711,3 +711,75 @@ def bucket_size_histogram(pairs_src: DataFrame, key_cols: list[str]) -> DataFram
         .groupBy("bucket_size")
         .agg(F.count(F.lit(1)).alias("n_buckets"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered-sequence (conversation-level) exact dedup
+# ---------------------------------------------------------------------------
+
+def sequence_fingerprints(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    sep: str = "\x1f",
+) -> DataFrame:
+    """One md5 fingerprint per ``key_col`` group over the ORDERED
+    concatenation of ``token_col`` — conversation-level exact dedup:
+    two conversations are duplicates iff their full turn sequences are
+    identical, which per-turn/per-doc fingerprinting cannot see.
+
+    Ordering must be TOTAL for a deterministic render: pass
+    ``order_cols`` that uniquely order rows within a key (e.g.
+    ``[ts, event_id]``); NULL tokens render as '' (both engines).
+
+    Scale shape: ONE groupBy(key) shuffle; the per-key render is
+    array_sort + transform + array_join — codegen, no Python.  The
+    concatenated string is bounded by the key's own payload (a hot
+    conversation renders long, but never leaves its executor and dies
+    at the md5).  At 10^12-turn scale the same shape holds: shuffle
+    volume = the corpus once, keyed by conv.
+    """
+    order_struct = F.struct(
+        *[F.col(c) for c in order_cols],
+        F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok"),
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(order_struct)), lambda x: x["__tok"]
+        ),
+        sep,
+    )
+    return df.groupBy(F.col(key_col).alias("key")).agg(
+        md5_i64(seq).alias("seq_fp"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def sequence_dup_groups(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+) -> DataFrame:
+    """Groups of keys whose ordered token sequences are IDENTICAL:
+    (seq_fp, n_keys, n_items, keys) for every fingerprint shared by
+    more than one key.  ``keys`` is the sorted comma-joined member
+    list (deterministic render, never a raw array).
+
+    Second groupBy shuffles one row per conversation (already
+    aggregated), so the dup-group pass costs ~nothing on top of the
+    fingerprint pass.
+    """
+    fps = sequence_fingerprints(df, key_col, order_cols, token_col)
+    return (
+        fps.groupBy("seq_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.min("n_items").alias("n_items"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("key").cast("string"))), ","
+            ).alias("keys"),
+        )
+        .filter(F.col("n_keys") > 1)
+    )

@@ -182,3 +182,42 @@ def dedup_clusters(
         "csize",
         (F.col("id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    attrs: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """ONE canonical survivor per duplicate cluster, by an EXPLICIT
+    quality policy instead of ``dedup_clusters``' min-id ``keep`` flag.
+
+    ``clusters`` is (id, cluster_id) — the connected-components output;
+    ``attrs`` carries ``id_col`` plus ``quality_col``, the keep-policy
+    column (e.g. ``n_chars`` for the keep-longest policy near-dedup
+    passes conventionally use: among near-identical docs the longest
+    is the least-truncated).  Representative = max quality, ties broken
+    by min id — a TOTAL order, so both engines agree (quality must be
+    integer-valued or pre-rounded; see CLAUDE.md determinism rules).
+
+    Output: (cluster_id, rep_id, csize, rep_quality).
+
+    Scale shape: one equi-join (clusters ⋈ attrs on id, both sides big
+    → shuffle hash join bounded by |clustered docs|, a small fraction
+    of the corpus) then ONE partial-aggregable groupBy(cluster_id) —
+    max_by/max/count all combine map-side, so the shuffle carries one
+    row per (partition, cluster), not per doc.  No window/sort pass.
+    """
+    q = F.col("q")
+    joined = clusters.join(
+        attrs.select(F.col(id_col).alias("id"), F.col(quality_col).alias("q")),
+        "id",
+    )
+    return joined.groupBy("cluster_id").agg(
+        # struct order (quality, -id): max -> highest quality, then
+        # smallest id (ids are non-negative; -id inverts the tiebreak)
+        F.max_by("id", F.struct(q, (-F.col("id")))).alias("rep_id"),
+        F.count(F.lit(1)).alias("csize"),
+        F.max(q).alias("rep_quality"),
+    )

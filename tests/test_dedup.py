@@ -269,3 +269,33 @@ def test_streaming_minhash_batch_parity(spark, tmp_path, docs_df):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_sequence_dup_groups(spark):
+    from cerberus_spark.operators.dedup import sequence_dup_groups
+
+    rows = [
+        # conv A and conv B: identical ordered token sequences
+        ("A", 1, 10, "x"), ("A", 2, 11, "y"), ("A", 3, 12, None),
+        ("B", 1, 20, "x"), ("B", 2, 21, "y"), ("B", 3, 22, None),
+        # conv C: same tokens, DIFFERENT order -> not a duplicate
+        ("C", 1, 30, "y"), ("C", 2, 31, "x"), ("C", 3, 32, None),
+        # conv D: same as A/B but extra item -> not a duplicate
+        ("D", 1, 40, "x"), ("D", 2, 41, "y"), ("D", 3, 42, None), ("D", 4, 43, "x"),
+    ]
+    df = spark.createDataFrame(rows, "key string, pos int, rid long, tok string")
+    out = sequence_dup_groups(df, "key", ["pos", "rid"], "tok").collect()
+    assert len(out) == 1
+    (grp,) = out
+    assert (grp.n_keys, grp.n_items, grp.keys) == (2, 3, "A,B")
+
+
+def test_sequence_fingerprints_order_sensitivity(spark):
+    from cerberus_spark.operators.dedup import sequence_fingerprints
+
+    df = spark.createDataFrame(
+        [("A", 1, "x"), ("A", 2, "y"), ("B", 1, "y"), ("B", 2, "x")],
+        "key string, pos int, tok string",
+    )
+    fps = {r.key: r.seq_fp for r in sequence_fingerprints(df, "key", ["pos"], "tok").collect()}
+    assert fps["A"] != fps["B"]  # same multiset, different order

@@ -108,3 +108,23 @@ def test_driver_fast_path_equals_iterative(spark, seed):
         for r in connected_components(edges, driver_threshold=None).collect()
     }
     assert fast == slow
+
+
+def test_cluster_representatives_policy(spark):
+    from cerberus_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, cluster_id long"
+    )
+    attrs = spark.createDataFrame(
+        # cluster 1: max quality 90 shared by ids 2 and 3 -> min id 2 wins
+        # cluster 10: 11 strictly longest
+        [(1, 50), (2, 90), (3, 90), (10, 5), (11, 6), (99, 1000)],
+        "doc_id long, n_chars long",
+    )
+    rows = {
+        r.cluster_id: (r.rep_id, r.csize, r.rep_quality)
+        for r in cluster_representatives(clusters, attrs, "doc_id", "n_chars").collect()
+    }
+    # id 99 is unclustered: never appears
+    assert rows == {1: (2, 3, 90), 10: (11, 2, 6)}
