@@ -333,3 +333,32 @@ def test_normalize_phase_is_shuffle_free_projection(spark):
     )
     plan = plan_of(out)
     assert "Exchange" not in plan, plan
+
+
+def test_cluster_representatives_no_window(spark):
+    """Representative selection is ONE partial-aggregable groupBy
+    (max_by/max/count combine map-side) — never a Window re-sort of
+    the clustered rows, and exactly one post-join exchange."""
+    from cerberus_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame([(1, 1)], "id long, cluster_id long")
+    attrs = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+    plan = plan_of(cluster_representatives(clusters, attrs, "doc_id", "n_chars"))
+    assert "Window" not in plan, plan
+    assert plan.count("max_by") >= 2, plan  # partial + final agg phases
+
+
+def test_sequence_fingerprints_single_shuffle_no_python(spark):
+    """Conversation fingerprinting shuffles the corpus ONCE (keyed by
+    conversation) and the ordered render + md5 stays JVM-side — no
+    Python evaluation node anywhere in the plan."""
+    from cerberus_spark.operators.dedup import sequence_fingerprints
+
+    df = spark.createDataFrame([("A", 1, "x")], "key string, pos int, tok string")
+    plan = plan_of(sequence_fingerprints(df, "key", ["pos"], "tok"))
+    assert n_exchanges(plan) == 1, plan
+    # no Python eval node of any flavor (the ExistingRDD scan name from
+    # createDataFrame contains "PythonRDD" — that's the test input, not
+    # an eval operator)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
