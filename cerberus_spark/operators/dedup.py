@@ -761,6 +761,7 @@ def sequence_dup_groups(
     key_col: str,
     order_cols: list[str],
     token_col: str,
+    keys_cap: int | None = None,
 ) -> DataFrame:
     """Groups of keys whose ordered token sequences are IDENTICAL:
     (seq_fp, n_keys, n_items, keys) for every fingerprint shared by
@@ -770,16 +771,33 @@ def sequence_dup_groups(
     Second groupBy shuffles one row per conversation (already
     aggregated), so the dup-group pass costs ~nothing on top of the
     fingerprint pass.
+
+    ``keys_cap`` is the no-unbounded-rows scale guard: a degenerate
+    corpus (millions of byte-identical conversations — one fp group)
+    would otherwise buffer and render one multi-GB ``keys`` value on a
+    single reducer.  With a cap, members are ranked per fingerprint
+    FIRST (one window pass over the already-aggregated |convs| rows)
+    and only the ``keys_cap`` smallest enter the collect buffer
+    (``collect_list`` skips the NULLed rest), so reducer memory is
+    bounded at cap entries per group while ``n_keys`` stays EXACT —
+    the truncation is visible as n_keys > cap, never silent.  None
+    (the default) renders the full list with no window pass — right
+    for contract/oracle use at test SFs; set it in production jobs.
     """
     fps = sequence_fingerprints(df, key_col, order_cols, token_col)
+    key_str = F.col("key").cast("string")
+    if keys_cap is not None:
+        w = Window.partitionBy("seq_fp").orderBy(key_str)
+        fps = fps.withColumn("__rk", F.row_number().over(w))
+        member = F.when(F.col("__rk") <= keys_cap, key_str)
+    else:
+        member = key_str
     return (
         fps.groupBy("seq_fp")
         .agg(
             F.count(F.lit(1)).alias("n_keys"),
             F.min("n_items").alias("n_items"),
-            F.array_join(
-                F.sort_array(F.collect_list(F.col("key").cast("string"))), ","
-            ).alias("keys"),
+            F.array_join(F.sort_array(F.collect_list(member)), ",").alias("keys"),
         )
         .filter(F.col("n_keys") > 1)
     )

@@ -299,3 +299,16 @@ def test_sequence_fingerprints_order_sensitivity(spark):
     )
     fps = {r.key: r.seq_fp for r in sequence_fingerprints(df, "key", ["pos"], "tok").collect()}
     assert fps["A"] != fps["B"]  # same multiset, different order
+
+
+def test_sequence_dup_groups_keys_cap(spark):
+    from cerberus_spark.operators.dedup import sequence_dup_groups
+
+    # 5 single-item conversations with the SAME token -> one dup group
+    rows = [(f"k{i}", 1, i, "x") for i in range(5)]
+    df = spark.createDataFrame(rows, "key string, pos int, rid long, tok string")
+    (grp,) = sequence_dup_groups(df, "key", ["pos", "rid"], "tok", keys_cap=2).collect()
+    # n_keys stays exact; the rendered list is the 2 smallest members
+    assert (grp.n_keys, grp.keys) == (5, "k0,k1")
+    (full,) = sequence_dup_groups(df, "key", ["pos", "rid"], "tok").collect()
+    assert full.keys == "k0,k1,k2,k3,k4"
