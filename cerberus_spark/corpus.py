@@ -41,6 +41,7 @@ def clean_corpus(
     min_run: int = 50,
     checkpoint_stages: bool = True,
     arrow_gate: bool = True,
+    survivor_policy: str = "min_id",
 ) -> dict[str, DataFrame]:
     """Returns lazy DataFrames:
 
@@ -49,8 +50,13 @@ def clean_corpus(
     - ``dropped``: (id, stage, reason) one row per dropped document;
     - ``report``: (stage, reason, n_docs) aggregate drop causes.
 
-    Survivor convention: smallest id in every exact/near-dup group
-    keeps (same as ``dedup_clusters``).
+    ``survivor_policy`` picks which member of every NEAR-dup cluster
+    keeps: ``"min_id"`` (default — positional, same as
+    ``dedup_clusters``' flag; exact-dup groups always keep min id, the
+    members are byte-identical) or ``"longest"`` — the least-truncated
+    copy wins (max post-normalization ``length(text_col)``, ties to
+    min id), via :func:`cluster_representatives`; one extra
+    partial-aggregable groupBy over the |clustered docs| slice.
 
     ``arrow_gate`` (default True): serve the quality gate from the
     single-pass Arrow twin (functions/text.py:gopher_report_arrow,
@@ -129,7 +135,25 @@ def clean_corpus(
         # anti-join and the drop report — checkpoint so the whole
         # signature+LSH chain doesn't re-run per consumer
         clusters = clusters.localCheckpoint(eager=False)
-    losers = clusters.filter(~F.col("keep")).select(
+    if survivor_policy == "longest":
+        from cerberus_spark.operators.graph import cluster_representatives
+
+        reps = cluster_representatives(
+            clusters.select("id", "cluster_id"),
+            exact_kept.select(
+                F.col(id_col), F.length(F.col(text_col)).alias("__q")
+            ),
+            id_col,
+            "__q",
+        )
+        loser_rows = clusters.join(
+            reps.select("cluster_id", "rep_id"), "cluster_id"
+        ).filter(F.col("id") != F.col("rep_id"))
+    elif survivor_policy == "min_id":
+        loser_rows = clusters.filter(~F.col("keep"))
+    else:
+        raise ValueError(f"unknown survivor_policy: {survivor_policy!r}")
+    losers = loser_rows.select(
         F.col("id"),
         F.lit("near_dup").alias("stage"),
         F.concat(F.lit("cluster_"), F.col("cluster_id").cast("string")).alias("reason"),

@@ -178,3 +178,25 @@ def test_clean_corpus_arrow_gate_equals_columnar_gate(spark, corpus):
     assert {(r.id, r.stage, r.reason) for r in a["dropped"].collect()} == {
         (r.id, r.stage, r.reason) for r in c["dropped"].collect()
     }
+
+
+def test_clean_corpus_survivor_policy_longest(spark, corpus):
+    # doc 3 (near dup of 1, one word swapped, same length as BASE) vs a
+    # LONGER near-dup with a higher id: keep-longest must keep the long
+    # copy where min_id would keep doc 1
+    longer = BASE + " plus an extra trailing clause that makes it longest"
+    docs = corpus.union(
+        spark.createDataFrame([(7, longer)], "doc_id long, text string")
+    )
+    kw = {"minhash_kwargs": {"num_hashes": 32, "shingle_k": 3},
+          "bands": 8, "rows_per_band": 4}
+    by_len = clean_corpus(docs, survivor_policy="longest", **kw)
+    kept_len = sorted(r.doc_id for r in by_len["kept"].collect())
+    assert 7 in kept_len and 1 not in kept_len and 3 not in kept_len
+
+    by_id = clean_corpus(docs, **kw)
+    kept_id = sorted(r.doc_id for r in by_id["kept"].collect())
+    assert 1 in kept_id and 7 not in kept_id
+
+    with pytest.raises(ValueError, match="survivor_policy"):
+        clean_corpus(docs, survivor_policy="bogus", **kw)
