@@ -9,8 +9,11 @@ from cerberus_spark.operators.dedup import (
     ngram_jaccard_pairs,
     minhash_signatures,
     minhash_dup_candidates,
+    sequence_dup_groups,
+    sequence_fingerprints,
     simhash64,
 )
+from cerberus_spark.operators.graph import cluster_representatives, dedup_clusters
 from cerberus_spark.operators.topk import top_k_per_group
 from cerberus_spark.operators.sessionize import sessionize
 
@@ -24,7 +27,11 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_dup_candidates",
+    "sequence_dup_groups",
+    "sequence_fingerprints",
     "simhash64",
+    "cluster_representatives",
+    "dedup_clusters",
     "top_k_per_group",
     "sessionize",
 ]
