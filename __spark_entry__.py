@@ -1178,13 +1178,16 @@ def q_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max n_chars, ties to min doc_id) — the explicit quality policy a
     dedup pass applies when picking which near-identical copy to keep,
     vs dedup_clusters' positional min-id flag.  One extra equi-join +
-    one partial-aggregable groupBy on top of the cluster pass."""
-    from cerberus_spark.operators.graph import cluster_representatives, dedup_clusters
+    one partial-aggregable groupBy on top of the cluster pass
+    (connected_components directly — dedup_clusters' csize/keep join
+    would be dead weight here; the representative agg counts csize
+    itself)."""
+    from cerberus_spark.operators.graph import cluster_representatives, connected_components
 
     docs = spread(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=3)
     cand = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
-    clusters = dedup_clusters(cand).select("id", "cluster_id")
+    clusters = connected_components(cand)
     return cluster_representatives(
         clusters, _t(spark, sf_dir, "documents"), "doc_id", "n_chars"
     )
@@ -1215,14 +1218,16 @@ def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MinHash LSH pairs -> connected components) share a duplicate
     cluster, and the split is hashed from the CLUSTER id — so a near-dup
     of a training doc can never land in test.  Unclustered docs fall
-    back to their own id."""
-    from cerberus_spark.operators.graph import dedup_clusters
+    back to their own id.  (connected_components directly — the split
+    never reads dedup_clusters' csize/keep, so that groupBy+join would
+    be a dead shuffle Catalyst cannot prune past the inner join.)"""
+    from cerberus_spark.operators.graph import connected_components
     from cerberus_spark.operators.sample import leak_safe_split
 
     docs = spread(_t(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, "text", "doc_id", num_hashes=16, shingle_k=3)
     cand = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4)
-    clusters = dedup_clusters(cand).select("id", "cluster_id")
+    clusters = connected_components(cand)
     out = leak_safe_split(_t(spark, sf_dir, "documents"), "doc_id", clusters)
     return out.groupBy("split").agg(F.count(F.lit(1)).alias("n_docs"))
 
