@@ -54,21 +54,33 @@ def contiguity_report(
     term counts only indexes INSIDE ``[start, max_idx]``, so stray
     below-start indexes can neither mask a gap nor drive the count
     negative; they are surfaced separately as ``n_below_start``.
-    ``n_dup_idx`` counts rows beyond the first per index.  One
-    partial-agg'd shuffle keyed on the conversation.
+    ``n_dup_idx`` counts rows beyond the first per index.
+
+    Shape: TWO-PHASE aggregation — groupBy (conv, idx) first, then
+    groupBy conv over the deduped rows.  The three distinct counts
+    expressed directly would plan as Expand (every input row duplicated
+    once per distinct expression — ~4x the table through the shuffle);
+    the two-phase form shuffles the table ONCE (map-side partial agg on
+    the pair key) plus a per-(conv,idx) second pass.
     """
     idx = F.col(idx_col)
-    in_range_distinct = F.countDistinct(F.when(idx >= start, idx))
-    return df.groupBy(F.col(conv_col).alias("conv")).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.min(idx_col).cast("long").alias("min_idx"),
-        F.max(idx_col).cast("long").alias("max_idx"),
-        (F.count(F.lit(1)) - F.countDistinct(idx_col)).alias("n_dup_idx"),
+    per_idx = df.groupBy(
+        F.col(conv_col).alias("conv"), idx.alias("__idx")
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    i = F.col("__idx")
+    return per_idx.groupBy("conv").agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.min(i).cast("long").alias("min_idx"),
+        F.max(i).cast("long").alias("max_idx"),
+        (F.sum("__cnt") - F.count(F.lit(1))).alias("n_dup_idx"),
         F.greatest(
             F.lit(0).cast("long"),
-            (F.max(idx_col) - F.lit(start) + 1 - in_range_distinct).cast("long"),
+            (
+                F.max(i) - F.lit(start) + 1
+                - F.count(F.when(i >= start, F.lit(1)))
+            ).cast("long"),
         ).alias("n_missing"),
-        F.countDistinct(F.when(idx < start, idx)).cast("long").alias("n_below_start"),
+        F.count(F.when(i < start, F.lit(1))).cast("long").alias("n_below_start"),
     )
 
 
