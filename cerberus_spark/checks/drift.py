@@ -477,17 +477,21 @@ def null_rate_drift(
     is |cols| rows exploded from a literal array.  ``delta`` is
     computed from the ROUNDED rates so it is engine-exact.
     """
+    # collision-proof internal aliases: '{prefix}__total' and
+    # '{prefix}_null_{c}' never collide with each other for ANY probed
+    # column name (a column literally named 'n' used to clash with the
+    # old '{prefix}_n' row-count alias)
     def rates(df: DataFrame, prefix: str) -> DataFrame:
-        aggs = [F.count(F.lit(1)).alias(f"{prefix}_n")]
+        aggs = [F.count(F.lit(1)).alias(f"{prefix}__total")]
         aggs += [
-            F.sum(F.col(c).isNull().cast("long")).alias(f"{prefix}_{c}")
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{prefix}_null_{c}")
             for c in cols
         ]
         return df.agg(*aggs)
 
     j = rates(baseline, "b").crossJoin(rates(current, "c"))
-    base_r = {c: F.round(F.col(f"b_{c}") / F.col("b_n"), round_to) for c in cols}
-    cur_r = {c: F.round(F.col(f"c_{c}") / F.col("c_n"), round_to) for c in cols}
+    base_r = {c: F.round(F.col(f"b_null_{c}") / F.col("b__total"), round_to) for c in cols}
+    cur_r = {c: F.round(F.col(f"c_null_{c}") / F.col("c__total"), round_to) for c in cols}
     entries = [
         F.struct(
             F.lit(c).alias("column_name"),

@@ -36,13 +36,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hadoop_rm(spark, path: str) -> None:
+    """Recursive delete through the Hadoop FileSystem API — works for
+    file:/, hdfs:/, s3a:/ alike (whatever backs the checkpoint dir)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iters: int = 20,
     checkpoint_dir: str | None = None,
-    driver_threshold: int | None = 2_000_000,
+    driver_threshold: int | None = 500_000,
 ) -> DataFrame:
     """(id, cluster_id) for every node appearing in ``edges``;
     cluster_id = smallest node id in the component (deterministic).
@@ -51,8 +60,16 @@ def connected_components(
     silent truncation would mislabel components.
 
     ``checkpoint_dir``: when set, per-round lineage truncation uses
-    reliable ``checkpoint()`` into that directory (survives executor
-    loss — the cluster-scale mode) instead of ``localCheckpoint()``.
+    reliable ``checkpoint()`` (survives executor loss — the
+    cluster-scale mode) instead of ``localCheckpoint()``.  Each
+    checkpoint lands in its own subdirectory of ``checkpoint_dir`` and
+    superseded rounds are DELETED as soon as the next round is
+    materialized, so durable storage holds at most two |nodes|-sized
+    label tables at any time instead of one per round.  The files of
+    the FINAL round back the returned DataFrame and are left for the
+    caller to drop with the directory.  Side effect: this calls
+    ``SparkContext.setCheckpointDir`` (global, context-wide state) and
+    leaves it pointing at the last round's subdirectory.
 
     ``driver_threshold``: adaptive small-graph fast path (the AQE
     philosophy — pick the physical strategy from the runtime size).
@@ -65,27 +82,48 @@ def connected_components(
     milliseconds and shipped back as a DataFrame — byte-identical
     labels (min id per component).  Graphs over the threshold run the
     distributed iteration unchanged; ``None`` disables the fast path.
-    The default (2M edges, ~tens of MB) is driver-safe by construction.
+    Memory honesty: the fast path collects up to 2×threshold symmetric
+    edge Rows — as PYTHON OBJECTS that is roughly a few hundred bytes
+    per edge, so the 500k default costs the driver a few hundred MB
+    peak, not tens; raise it only with driver heap to match.
     """
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    spark = edges.sparkSession
+    label_dirs: list[str] = []
 
-    def _ckpt(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+    def _ckpt(df: DataFrame, tag: str) -> DataFrame:
+        if checkpoint_dir is None:
+            return df.localCheckpoint()
+        sub = f"{checkpoint_dir.rstrip('/')}/{tag}"
+        spark.sparkContext.setCheckpointDir(sub)
+        return df.checkpoint()  # eager: files are complete on return
+
+    def _drop_stale_labels() -> None:
+        # keep only the newest label checkpoint (the current `labels`);
+        # everything older is lineage no plan references anymore
+        while len(label_dirs) > 1:
+            _hadoop_rm(spark, label_dirs.pop(0))
 
     # checkpoint the symmetric edge list FIRST so the (possibly very
     # expensive) upstream candidate-pair pipeline materializes exactly
     # once; labels then derive from the checkpointed edges
+    edges_dir = None if checkpoint_dir is None else f"{checkpoint_dir.rstrip('/')}/edges"
     sym = _ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))),
+        "edges",
     )
     if driver_threshold is not None and sym.count() <= 2 * driver_threshold:
-        return _driver_components(sym, edges, src)
+        out = _driver_components(sym, edges, src)
+        if edges_dir is not None:
+            _hadoop_rm(spark, edges_dir)  # result is driver-local
+        return out
     labels = _ckpt(
-        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id"))
+        sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id")),
+        "labels_init",
     )
-    for _ in range(max_iters):
+    if checkpoint_dir is not None:
+        label_dirs.append(f"{checkpoint_dir.rstrip('/')}/labels_init")
+    for i in range(max_iters):
         nb = sym.join(
             labels.select(F.col("id").alias("b"), F.col("lbl")), "b"
         ).select(F.col("a").alias("id"), "lbl")
@@ -106,7 +144,9 @@ def connected_components(
             )
             .select("id", F.least("lbl", "lbl2").alias("lbl"))
         )
-        new_labels = _ckpt(new_labels)
+        new_labels = _ckpt(new_labels, f"labels_r{i}")
+        if checkpoint_dir is not None:
+            label_dirs.append(f"{checkpoint_dir.rstrip('/')}/labels_r{i}")
         changed = (
             new_labels.join(
                 labels.select("id", F.col("lbl").alias("old")), "id"
@@ -115,7 +155,12 @@ def connected_components(
             .count()
         )
         labels = new_labels
+        # the `changed` count was the last reader of the previous
+        # round's checkpoint — reclaim it now
+        _drop_stale_labels()
         if changed == 0:
+            if edges_dir is not None:
+                _hadoop_rm(spark, edges_dir)  # labels stand alone now
             return labels.select("id", F.col("lbl").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} iterations"
@@ -138,7 +183,8 @@ def _driver_components(sym: DataFrame, edges: DataFrame, src: str) -> DataFrame:
     # one collect, NOT toLocalIterator: the threshold already bounds the
     # edge list driver-side, and toLocalIterator pays one sequential
     # job round PER PARTITION (measured 2x slower end-to-end)
-    for row in sym.collect():
+    edge_rows = sym.collect()
+    for row in edge_rows:
         a, b = row[0], row[1]
         if a not in parent:
             parent[a] = a
@@ -149,8 +195,15 @@ def _driver_components(sym: DataFrame, edges: DataFrame, src: str) -> DataFrame:
             # union by MIN so the root is always the smallest id seen
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
+    # free the collected Rows before building output tuples so peak
+    # driver footprint is ~one copy of the graph, not two
+    del edge_rows
 
-    rows = [(x, find(x)) for x in parent]
+    # full path compression in place (parent values only ever move
+    # closer to the root), then the dict items ARE the output rows
+    for x in parent:
+        parent[x] = find(x)
+    rows = list(parent.items())
     from pyspark.sql import types as T
 
     id_t = edges.schema[src].dataType
@@ -165,7 +218,7 @@ def dedup_clusters(
     src: str = "id_a",
     dst: str = "id_b",
     checkpoint_dir: str | None = None,
-    driver_threshold: int | None = 2_000_000,
+    driver_threshold: int | None = 500_000,
 ) -> DataFrame:
     """(id, cluster_id, csize, keep) per clustered doc: components over
     the candidate pairs, cluster size, and the canonical-survivor flag
@@ -198,8 +251,10 @@ def cluster_representatives(
     column (e.g. ``n_chars`` for the keep-longest policy near-dedup
     passes conventionally use: among near-identical docs the longest
     is the least-truncated).  Representative = max quality, ties broken
-    by min id — a TOTAL order, so both engines agree (quality must be
-    integer-valued or pre-rounded; see CLAUDE.md determinism rules).
+    by min id — a TOTAL order, so both engines agree.  Quality must be
+    NUMERIC (integer-valued or pre-rounded; see CLAUDE.md determinism
+    rules) — it is negated for the min_by struct order; ids keep their
+    native comparison, so string doc ids work.
 
     Output: (cluster_id, rep_id, csize, rep_quality).
 
@@ -215,9 +270,10 @@ def cluster_representatives(
         "id",
     )
     return joined.groupBy("cluster_id").agg(
-        # struct order (quality, -id): max -> highest quality, then
-        # smallest id (ids are non-negative; -id inverts the tiebreak)
-        F.max_by("id", F.struct(q, (-F.col("id")))).alias("rep_id"),
+        # struct order (-quality, id): min -> highest quality, then
+        # smallest id; only the (numeric) quality is negated, the id
+        # compares natively so non-numeric / negative ids stay correct
+        F.min_by("id", F.struct((-q), F.col("id"))).alias("rep_id"),
         F.count(F.lit(1)).alias("csize"),
         F.max(q).alias("rep_quality"),
     )

@@ -772,3 +772,17 @@ def test_null_rate_drift_hand_checked(spark):
     assert rows["x"].cur_null_rate == 0.75
     assert rows["x"].delta == 0.5
     assert rows["id"].delta == 0.0
+
+
+def test_null_rate_drift_column_named_n(spark):
+    """A probed column literally named 'n' used to collide with the
+    internal row-count alias ('b_n') and raise an ambiguous-column
+    AnalysisException; the alias scheme must be collision-proof."""
+    from cerberus_spark.checks.drift import null_rate_drift
+
+    base = spark.createDataFrame([(1, 1), (2, None)], "id long, n long")
+    cur = spark.createDataFrame([(3, None), (4, None)], "id long, n long")
+    rows = {r.column_name: r for r in null_rate_drift(base, cur, ["n"]).collect()}
+    assert rows["n"].base_null_rate == 0.5
+    assert rows["n"].cur_null_rate == 1.0
+    assert rows["n"].delta == 0.5

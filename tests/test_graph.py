@@ -128,3 +128,65 @@ def test_cluster_representatives_policy(spark):
     }
     # id 99 is unclustered: never appears
     assert rows == {1: (2, 3, 90), 10: (11, 2, 6)}
+
+
+def test_cluster_representatives_string_ids(spark):
+    """The tiebreak must not negate the id (only the numeric quality):
+    string doc ids order natively — max quality, then MIN id."""
+    from cerberus_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [("docB", "docA"), ("docA", "docA"), ("docC", "docA")],
+        "id string, cluster_id string",
+    )
+    attrs = spark.createDataFrame(
+        # max quality 9 shared by docC and docB -> min id docB wins
+        [("docA", 1), ("docB", 9), ("docC", 9)],
+        "doc_id string, n_chars long",
+    )
+    rows = {
+        r.cluster_id: (r.rep_id, r.csize, r.rep_quality)
+        for r in cluster_representatives(clusters, attrs, "doc_id", "n_chars").collect()
+    }
+    assert rows == {"docA": ("docB", 3, 9)}
+
+
+def test_reliable_checkpoint_rounds_are_reclaimed(spark, tmp_path):
+    """checkpoint_dir mode must delete superseded per-round label
+    checkpoints as the iteration advances: at exit only the FINAL
+    round's subdirectory remains (it backs the returned DataFrame) —
+    not one |nodes|-sized table per round, and not the edges copy."""
+    import os
+
+    from cerberus_spark.operators.graph import connected_components
+
+    # an 8-edge chain needs several shortcutting rounds -> several
+    # labels_r* checkpoints would otherwise pile up
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    ckdir = tmp_path / "cc_gc"
+    cc = connected_components(
+        edges, checkpoint_dir=str(ckdir), driver_threshold=None
+    )
+    got = {r.id: r.cluster_id for r in cc.collect()}
+    assert got == {i: 0 for i in range(9)}
+    remaining = sorted(e.name for e in os.scandir(ckdir))
+    assert len(remaining) == 1 and remaining[0].startswith("labels_r"), remaining
+
+
+def test_driver_fast_path_checkpoint_cleanup(spark, tmp_path):
+    """The driver fast path's result is driver-local — the edges
+    checkpoint must not survive it."""
+    import os
+
+    from cerberus_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    ckdir = tmp_path / "cc_fast"
+    got = {
+        r.id: r.cluster_id
+        for r in connected_components(edges, checkpoint_dir=str(ckdir)).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+    assert not any(os.scandir(ckdir)), "edges checkpoint not reclaimed"

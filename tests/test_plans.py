@@ -345,7 +345,7 @@ def test_cluster_representatives_no_window(spark):
     attrs = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
     plan = plan_of(cluster_representatives(clusters, attrs, "doc_id", "n_chars"))
     assert "Window" not in plan, plan
-    assert plan.count("max_by") >= 2, plan  # partial + final agg phases
+    assert plan.count("min_by") >= 2, plan  # partial + final agg phases
 
 
 def test_sequence_fingerprints_single_shuffle_no_python(spark):
