@@ -3497,7 +3497,7 @@ FROM r WHERE rn = 1
     out["sequence_dups"] = """
 WITH fp AS (
   SELECT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS key,
-         ('0x' || substr(md5(string_agg(coalesce(event_type, ''), chr(31)
+         ('0x' || substr(md5(string_agg(md5(coalesce(event_type, '')), chr(31)
              ORDER BY ts, event_id, coalesce(event_type, ''))), 1, 15))::BIGINT AS seq_fp,
          count(*)::BIGINT AS n_items
   FROM events GROUP BY 1

@@ -723,36 +723,83 @@ def sequence_fingerprints(
     order_cols: list[str],
     token_col: str,
     sep: str = "\x1f",
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """One md5 fingerprint per ``key_col`` group over the ORDERED
-    concatenation of ``token_col`` — conversation-level exact dedup:
-    two conversations are duplicates iff their full turn sequences are
+    sequence of ``token_col`` — conversation-level exact dedup: two
+    conversations are duplicates iff their full turn sequences are
     identical, which per-turn/per-doc fingerprinting cannot see.
 
-    Ordering must be TOTAL for a deterministic render: pass
-    ``order_cols`` that uniquely order rows within a key (e.g.
-    ``[ts, event_id]``); NULL tokens render as '' (both engines).
+    Each token is HASHED (md5, fixed 32-hex width) before the joined
+    render, so a token that happens to contain the separator cannot
+    make distinct sequences render identically (['a\\x1fb'] vs
+    ['a','b'] fingerprint differently).  Ordering must be TOTAL for a
+    deterministic render: pass ``order_cols`` that uniquely order rows
+    within a key (e.g. ``[ts, event_id]``); NULL tokens render as ''
+    (both engines) before hashing.
 
-    Scale shape: ONE groupBy(key) shuffle; the per-key render is
-    array_sort + transform + array_join — codegen, no Python.  The
-    concatenated string is bounded by the key's own payload (a hot
-    conversation renders long, but never leaves its executor and dies
-    at the md5).  At 10^12-turn scale the same shape holds: shuffle
-    volume = the corpus once, keyed by conv.
+    Scale shape (default, ``chunk_size=None``): ONE groupBy(key)
+    shuffle; the per-key render is array_sort + transform + array_join
+    — codegen, no Python.  The aggregation buffer holds one whole
+    conversation's hashed tokens: bounded by the key's own payload,
+    right whenever conversation length is bounded (the transcript
+    north rule), and the contract/oracle shape.
+
+    ``chunk_size`` is the degenerate-input guard (same "cap visible,
+    never silent" family as ``keys_cap``): with it set, a
+    million-turn pathological conversation never materializes whole in
+    one reducer.  The fold becomes hierarchical — rows are numbered
+    within their key (a window SORT, which spills, never a buffer),
+    md5-folded per ``chunk_size``-row chunk (buffer ≤ chunk_size), and
+    the ordered CHUNK DIGESTS fold to the final fingerprint (buffer ≤
+    n_items/chunk_size).  Chunked fingerprints are deterministic and
+    equality-preserving but NOT equal to unchunked ones — pick one
+    mode per corpus (dup groups are identical either way, proven in
+    tests).
     """
-    order_struct = F.struct(
-        *[F.col(c) for c in order_cols],
-        F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok"),
+    tok = F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok")
+    if chunk_size is None:
+        order_struct = F.struct(*[F.col(c) for c in order_cols], tok)
+        seq = F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(order_struct)),
+                lambda x: F.md5(x["__tok"]),
+            ),
+            sep,
+        )
+        return df.groupBy(F.col(key_col).alias("key")).agg(
+            md5_i64(seq).alias("seq_fp"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c) for c in order_cols], F.col("__tok")
     )
-    seq = F.array_join(
+    numbered = df.select(F.col(key_col).alias("key"), *order_cols, tok).withColumn(
+        "__chunk", ((F.row_number().over(w) - F.lit(1)) / F.lit(chunk_size)).cast("long")
+    )
+    chunk_struct = F.struct(*[F.col(c) for c in order_cols], F.col("__tok"))
+    chunks = numbered.groupBy("key", "__chunk").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(chunk_struct)),
+                    lambda x: F.md5(x["__tok"]),
+                ),
+                sep,
+            )
+        ).alias("__digest"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    final_seq = F.array_join(
         F.transform(
-            F.array_sort(F.collect_list(order_struct)), lambda x: x["__tok"]
+            F.array_sort(F.collect_list(F.struct(F.col("__chunk"), F.col("__digest")))),
+            lambda x: x["__digest"],
         ),
         sep,
     )
-    return df.groupBy(F.col(key_col).alias("key")).agg(
-        md5_i64(seq).alias("seq_fp"),
-        F.count(F.lit(1)).alias("n_items"),
+    return chunks.groupBy("key").agg(
+        md5_i64(final_seq).alias("seq_fp"),
+        F.sum("__n").alias("n_items"),
     )
 
 
@@ -762,6 +809,7 @@ def sequence_dup_groups(
     order_cols: list[str],
     token_col: str,
     keys_cap: int | None = None,
+    chunk_size: int | None = None,
 ) -> DataFrame:
     """Groups of keys whose ordered token sequences are IDENTICAL:
     (seq_fp, n_keys, n_items, keys) for every fingerprint shared by
@@ -783,8 +831,14 @@ def sequence_dup_groups(
     the truncation is visible as n_keys > cap, never silent.  None
     (the default) renders the full list with no window pass — right
     for contract/oracle use at test SFs; set it in production jobs.
+
+    ``chunk_size`` passes through to :func:`sequence_fingerprints` —
+    the bounded hierarchical fold for degenerate (million-turn)
+    conversations; dup GROUPS are identical either way.
     """
-    fps = sequence_fingerprints(df, key_col, order_cols, token_col)
+    fps = sequence_fingerprints(
+        df, key_col, order_cols, token_col, chunk_size=chunk_size
+    )
     key_str = F.col("key").cast("string")
     if keys_cap is not None:
         w = Window.partitionBy("seq_fp").orderBy(key_str)

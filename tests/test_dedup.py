@@ -312,3 +312,85 @@ def test_sequence_dup_groups_keys_cap(spark):
     assert (grp.n_keys, grp.keys) == (5, "k0,k1")
     (full,) = sequence_dup_groups(df, "key", ["pos", "rid"], "tok").collect()
     assert full.keys == "k0,k1,k2,k3,k4"
+
+
+def test_sequence_fingerprints_separator_injection(spark):
+    """Tokens are md5-hashed before the joined render, so a token
+    containing the separator byte can never make distinct sequences
+    render identically (['a\\x1fb'] vs ['a','b'])."""
+    from cerberus_spark.operators.dedup import sequence_fingerprints
+
+    df = spark.createDataFrame(
+        [("A", 1, "a\x1fb"), ("B", 1, "a"), ("B", 2, "b")],
+        "key string, pos int, tok string",
+    )
+    fps = {
+        r.key: (r.seq_fp, r.n_items)
+        for r in sequence_fingerprints(df, "key", ["pos"], "tok").collect()
+    }
+    assert fps["A"][0] != fps["B"][0]
+    assert fps["A"][1] == 1 and fps["B"][1] == 2
+
+
+def test_sequence_dup_groups_chunked_parity(spark):
+    """chunk_size (the bounded hierarchical fold) must produce the
+    SAME dup groups as the single-pass fold — fingerprints differ by
+    design, group membership may not."""
+    from cerberus_spark.operators.dedup import sequence_dup_groups
+
+    rows = [
+        (key, pos, pos, tok)
+        for key, toks in [
+            ("A", ["x", "y", "z", "x", "y"]),
+            ("B", ["x", "y", "z", "x", "y"]),   # dup of A
+            ("C", ["x", "y", "z", "y", "x"]),   # same multiset, reordered
+            ("D", ["x", "y"]),
+            ("E", ["x", "y"]),                  # dup of D
+        ]
+        for pos, tok in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "key string, pos int, rid long, tok string")
+
+    def groups(chunk_size):
+        return {
+            (g.n_keys, g.n_items, g.keys)
+            for g in sequence_dup_groups(
+                df, "key", ["pos", "rid"], "tok", chunk_size=chunk_size
+            ).collect()
+        }
+
+    expect = {(2, 5, "A,B"), (2, 2, "D,E")}
+    # chunk boundary inside the sequence (2), exactly at it (5), beyond (100)
+    assert groups(None) == expect
+    assert groups(2) == expect
+    assert groups(5) == expect
+    assert groups(100) == expect
+
+
+def test_sequence_fingerprints_chunked_boundedness(spark):
+    """The degenerate input the chunked fold exists for: ONE
+    million-turn conversation.  No reducer may buffer the whole
+    sequence — chunks buffer <= chunk_size rows and the final fold
+    buffers <= n/chunk_size digests.  Deterministic across runs and
+    partitionings, n_items exact."""
+    from pyspark.sql import functions as F
+
+    from cerberus_spark.operators.dedup import sequence_fingerprints
+
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .select(
+            F.lit("conv").alias("key"),
+            F.col("id").alias("pos"),
+            F.concat(F.lit("t"), F.col("id") % 97).alias("tok"),
+        )
+    )
+    (row,) = sequence_fingerprints(
+        df, "key", ["pos"], "tok", chunk_size=4096
+    ).collect()
+    assert row.n_items == n
+    (again,) = sequence_fingerprints(
+        df.repartition(17), "key", ["pos"], "tok", chunk_size=4096
+    ).collect()
+    assert again.seq_fp == row.seq_fp
