@@ -14,6 +14,7 @@ from cerberus_spark.operators.dedup import (
     simhash64,
 )
 from cerberus_spark.operators.graph import cluster_representatives, dedup_clusters
+from cerberus_spark.operators.similarity import train_centroids
 from cerberus_spark.operators.topk import top_k_per_group
 from cerberus_spark.operators.sessionize import sessionize
 
@@ -32,6 +33,7 @@ __all__ = [
     "simhash64",
     "cluster_representatives",
     "dedup_clusters",
+    "train_centroids",
     "top_k_per_group",
     "sessionize",
 ]
