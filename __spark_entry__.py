@@ -1013,6 +1013,65 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
 
 
+def q2_min_price_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar-subquery MIN — parts whose
+    (rounded) retail price is the minimum for their p_type.  The
+    DataFrame plan is the decorrelated form Catalyst would produce
+    from the subquery: one tiny per-type aggregate broadcast back onto
+    the scan (never a per-row subquery); the DuckDB oracle keeps the
+    literal correlated subquery.  Price rounded BEFORE both the min
+    and the equality so the float compare is engine-exact."""
+    part = _t(spark, sf_dir, "part")
+    price = F.round(F.col("p_retailprice"), 2)
+    mins = part.groupBy("p_type").agg(F.min(price).alias("min_price"))
+    return (
+        part.select("p_partkey", "p_brand", "p_type", price.alias("price"))
+        .join(F.broadcast(mins), "p_type")
+        .filter(F.col("price") == F.col("min_price"))
+        .select("p_partkey", "p_brand", "p_type", "min_price")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER customer->orders with the order
+    filter INSIDE the join (zero-order customers must survive it),
+    per-customer order count including zeros, then the distribution
+    of counts.  count('o_orderkey') counts non-null matches only —
+    the outer-join-correct zero."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: supplier-blacklist ANTI join + count(DISTINCT
+    suppkey) per part group; lineitem is the part<->supplier bridge
+    (this schema carries no partsupp).  The blacklist is a broadcast
+    anti join (map-side, no fact shuffle); the single distinct-count
+    plans as two-phase HashAggregate — no Expand (that only appears
+    with >=2 distinct aggregates, see BASELINE.md)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    ps = li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    return (
+        ps.join(part, ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis
 # ---------------------------------------------------------------------------
@@ -2009,6 +2068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Tail: r3-gated pairs on since-unchanged code, then the
         # long-green TPC-H/pivot/cube stalwarts.  ALL 104 stay locally
         # green via scripts/oracle_check.py every round.
+        "q2_min_price_part": q2_min_price_part,
+        "q13_customer_distribution": q13_customer_distribution,
+        "q16_parts_supplier_counts": q16_parts_supplier_counts,
         "pack_documents": q_pack_documents,
         "sequence_violations": q_sequence_violations,
         "lineitem_contiguity": q_lineitem_contiguity,
@@ -3283,6 +3345,27 @@ SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty, rk FROM (
   JOIN orders o ON b.l_orderkey = o.o_orderkey
   JOIN customer c ON o.o_custkey = c.c_custkey
 ) WHERE rk <= 20
+""",
+        "q2_min_price_part": """
+SELECT p_partkey, p_brand, p_type, round(p_retailprice, 2) AS min_price
+FROM part p
+WHERE round(p_retailprice, 2) = (
+  SELECT min(round(p2.p_retailprice, 2)) FROM part p2 WHERE p2.p_type = p.p_type
+)
+""",
+        "q13_customer_distribution": """
+SELECT c_count, count(*)::BIGINT AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+        "q16_parts_supplier_counts": """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
 """,
         "q3_top_revenue_orders": """
 SELECT o_orderkey, revenue, rk FROM (
