@@ -104,7 +104,13 @@ def bench_transcripts(spark, sf: float) -> dict:
     for _ in range(5):
         s0 = read_cpu_ticks()
         t0 = time.perf_counter()
-        run_full_validation(spark, df, sink_dir=os.path.join(TMP, "sink"))
+        # sequence_checks=True: the north-rule workload validates
+        # TRANSCRIPTS — the role-transition/ordering family and the
+        # per-conversation health gate belong in the benched job
+        # (r5; headline rows before r5 exclude them)
+        run_full_validation(
+            spark, df, sink_dir=os.path.join(TMP, "sink"), sequence_checks=True
+        )
         walls.append(time.perf_counter() - t0)
         steals.append(steal_pct(s0, read_cpu_ticks()))
     wall = min(walls)
@@ -147,7 +153,7 @@ def main() -> None:
 
     shutil.rmtree(TMP, ignore_errors=True)
     result = {
-        "metric": "turns validated/sec (full rule-set + uniqueness + referential + column stats + drift)",
+        "metric": "turns validated/sec (full rule-set + uniqueness + referential + column stats + drift + sequence/conversation checks)",
         "value": head["pipeline_sec"],
         "unit": "sec",
         "queries": queries,

@@ -168,6 +168,8 @@ def sequence_violations(
     order_by: list[str],
     allowed: set[tuple[str, str]],
     allowed_first: set[str] | None = None,
+    idx_col: str | None = None,
+    start: int = 0,
 ) -> DataFrame:
     """All sequence rules in ONE window pass: emits one row per
     (input row, violated rule) with ``rule`` in {'transition',
@@ -183,6 +185,17 @@ def sequence_violations(
     judged only between two non-NULL states; 'first row' is
     row_number()==1, so a mid-conversation NULL state does not make its
     successor look like a conversation start.
+
+    ``idx_col`` additionally derives the INDEX-DENSITY rules from the
+    SAME window pass (at 10^12-turn scale this folds
+    :func:`contiguity_report`'s separate corpus shuffle into the one
+    sort already paid): ``dup_idx`` (index equals its predecessor's),
+    ``below_start`` (index < ``start``), and ``idx_gap`` (indexes
+    skipped before this row — the gap SIZE lands in ``gap_size``,
+    NULL on non-gap rows, so Σ gap_size per conv equals
+    contiguity_report's ``n_missing``, equality pytest-locked).
+    REQUIREMENT: ``order_by`` must sort ``idx_col`` non-decreasing
+    within a conversation (e.g. lead with it), or gaps mis-derive.
     """
     w = _w(conv_col, order_by)
     # materialize the window attributes in one Window pass FIRST:
@@ -193,6 +206,8 @@ def sequence_violations(
         .withColumn("_prev_ts", F.lag(ts_col).over(w))
         .withColumn("_rn", F.row_number().over(w))
     )
+    if idx_col is not None:
+        base = base.withColumn("_prev_idx", F.lag(idx_col).over(w))
     prev_state, prev_ts = F.col("prev_state"), F.col("_prev_ts")
     state = F.col(state_col)
     trans_ok = F.concat_ws(_SEP, prev_state, state).isin(
@@ -213,8 +228,38 @@ def sequence_violations(
                 F.lit("first_state"),
             )
         )
+    gap = None
+    if idx_col is not None:
+        idx, prev_idx = F.col(idx_col).cast("long"), F.col("_prev_idx").cast("long")
+        s = F.lit(start).cast("long")
+        # indexes skipped immediately before this row: from the
+        # predecessor when it was in range, else (first in-range row
+        # of the conv) from `start` — matches contiguity_report's
+        # "density inside [start, max_idx]" exactly
+        gap = (
+            F.when(
+                (idx >= s) & (prev_idx.isNull() | (prev_idx < s)), idx - s
+            )
+            .when((idx >= s) & (prev_idx >= s), F.greatest(F.lit(0).cast("long"), idx - prev_idx - 1))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        checks += [
+            F.when(prev_idx.isNotNull() & (idx == prev_idx), F.lit("dup_idx")),
+            # first row of its index only: contiguity_report counts
+            # DISTINCT below-start indexes, not rows (its per-idx dedup)
+            F.when(
+                (idx < s) & (prev_idx.isNull() | (idx != prev_idx)),
+                F.lit("below_start"),
+            ),
+            F.when(gap > 0, F.lit("idx_gap")),
+        ]
     rules = F.filter(F.array(*checks), lambda x: x.isNotNull())
-    return base.withColumn("rule", F.explode(rules)).drop("_prev_ts", "_rn")
+    out = base.withColumn("rule", F.explode(rules))
+    if idx_col is not None:
+        out = out.withColumn(
+            "gap_size", F.when(F.col("rule") == "idx_gap", gap)
+        ).drop("_prev_idx")
+    return out.drop("_prev_ts", "_rn")
 
 
 def reindex_turns(
@@ -275,6 +320,18 @@ def conversation_report(
             for r in ("transition", "null_state", "ts_regression", "first_state")
         ]
     )
+    return assemble_conversation_report(rep, counts)
+
+
+def assemble_conversation_report(rep: DataFrame, counts: DataFrame) -> DataFrame:
+    """Final assembly of :func:`conversation_report`: join the
+    contiguity report (``n_rows`` already renamed ``n_turns``) with
+    per-conv sequence-rule counts (columns ``n_transition`` /
+    ``n_null_state`` / ``n_ts_regression`` / ``n_first_state``) and
+    derive ``keep``.  Exposed so callers that already MATERIALIZED the
+    per-row sequence violations (e.g. the pipeline's audit sink) can
+    roll the health gate up from those rows instead of paying the
+    window pass twice — same output by construction."""
     joined = rep.join(counts, "conv", "left").fillna(
         0,
         subset=["n_transition", "n_null_state", "n_ts_regression", "n_first_state"],

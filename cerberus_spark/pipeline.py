@@ -13,6 +13,12 @@ outputs:
   2. rule_summary       — (field, rule) violation counts
   3. partition_summary  — mapInPandas lineage (monitor.go:514-584 analog)
   4. drift              — role + text-length KL/PSI vs baseline, one job
+  5. sequence family    — flag-gated (``sequence_checks=True``, ON in
+                          bench.py): role-transition / ordering /
+                          null-state violations into the SAME sink
+                          (one extra conv-keyed window shuffle) plus
+                          the per-conversation ``conversation_health``
+                          gate as a sixth output
                           (median split computed in-plan, no collect)
 
 Job count matters: every Spark action pays driver-side planning +
@@ -37,6 +43,7 @@ from pyspark.sql import functions as F
 
 from cerberus_spark.checks.drift import categorical_histogram, drift_report, numeric_histogram
 from cerberus_spark.checks.referential import referential_violations
+from cerberus_spark.checks.sequence import conversation_report, sequence_violations
 from cerberus_spark.checks.uniqueness import uniqueness_violations
 from cerberus_spark.sources.catalog import tool_catalog
 from cerberus_spark.validation import validate
@@ -60,6 +67,125 @@ TEXT_LEN_EDGES = [0.0, 20.0, 50.0, 100.0, 150.0, 200.0, 300.0, 1e9]
 
 KEY_COLS = ["conv_id", "turn_idx"]
 
+#: north-rule role-transition grammar for multi-turn agent transcripts
+TRANSCRIPT_TRANSITIONS: set[tuple[str, str]] = {
+    ("system", "user"),
+    ("system", "assistant"),
+    ("user", "assistant"),
+    ("user", "user"),
+    ("assistant", "user"),
+    ("assistant", "assistant"),
+    ("assistant", "tool"),
+    ("tool", "assistant"),
+    ("tool", "tool"),
+}
+TRANSCRIPT_FIRST_ROLES: set[str] = {"system", "user"}
+
+
+def sequence_violation_rows(df: DataFrame) -> DataFrame:
+    """:func:`cerberus_spark.checks.sequence.sequence_violations` over
+    the transcript grammar — WITH the index-density rules derived from
+    the same window pass (``idx_col``) — normalized to the
+    violations-sink shape (conv_id, turn_idx, field, rule, value) so
+    the whole sequence family lands in the SAME audit sink as
+    rule/uniqueness/referential rows.  One window shuffle keyed by
+    conversation — the only new exchange the flag adds to the headline
+    job (the density terms ride it; no separate contiguity shuffle)."""
+    seq = sequence_violations(
+        df,
+        "conv_id",
+        "role",
+        "ts",
+        ["turn_idx"],
+        TRANSCRIPT_TRANSITIONS,
+        TRANSCRIPT_FIRST_ROLES,
+        idx_col="turn_idx",
+    )
+    is_ts = F.col("rule") == "ts_regression"
+    is_gap = F.col("rule") == "idx_gap"
+    is_idx = F.col("rule").isin("idx_gap", "dup_idx", "below_start")
+    return seq.select(
+        "conv_id",
+        "turn_idx",
+        F.when(is_ts, "ts").when(is_idx, "turn_idx").otherwise("role").alias("field"),
+        F.concat(F.lit("seq_"), F.col("rule")).alias("rule"),
+        F.when(is_gap, F.col("gap_size").cast("string"))
+        .when(is_idx, F.col("turn_idx").cast("string"))
+        .when(is_ts, F.col("ts").cast("string"))
+        .otherwise(F.coalesce(F.col("role"), F.lit("")))
+        .alias("value"),
+    )
+
+
+def conversation_health(df: DataFrame) -> DataFrame:
+    """Per-conversation structural gate (the transcript Gopher gate)
+    over the same grammar: one row per conversation with violation
+    counts and the composite ``keep`` flag."""
+    return conversation_report(
+        df,
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts",
+        ["turn_idx"],
+        TRANSCRIPT_TRANSITIONS,
+        TRANSCRIPT_FIRST_ROLES,
+    )
+
+
+def conversation_health_from_violations(df: DataFrame, viol: DataFrame) -> DataFrame:
+    """:func:`conversation_health` rolled up from an already-
+    materialized violations sink instead of a second window pass: the
+    per-conv sequence AND density counts come from the sink's ``seq_*``
+    rows (one tiny groupBy over violation rows — the density rules rode
+    the sink's window pass via ``idx_col``); the only corpus re-read is
+    a plain per-conv row count (map-side partial agg, no window sort).
+    Output equal to :func:`conversation_health` by construction
+    (shared assembly; equality pytest-locked)."""
+    from cerberus_spark.checks.sequence import assemble_conversation_report
+
+    seq_rows = viol.filter(F.col("rule").startswith("seq_")).groupBy(
+        F.col("conv_id").alias("conv")
+    )
+    density = seq_rows.agg(
+        F.sum(F.when(F.col("rule") == "seq_dup_idx", 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_idx"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("rule") == "seq_idx_gap", F.col("value").cast("long")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_missing"),
+        F.sum(F.when(F.col("rule") == "seq_below_start", 1).otherwise(0))
+        .cast("long")
+        .alias("n_below_start"),
+        *[
+            F.sum(F.when(F.col("rule") == f"seq_{r}", 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_{r}")
+            for r in ("transition", "null_state", "ts_regression", "first_state")
+        ],
+    )
+    rep = (
+        df.groupBy(F.col("conv_id").alias("conv"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .join(
+            density.select("conv", "n_dup_idx", "n_missing", "n_below_start"),
+            "conv",
+            "left",
+        )
+        .fillna(0, subset=["n_dup_idx", "n_missing", "n_below_start"])
+    )
+    counts = density.select(
+        "conv", "n_transition", "n_null_state", "n_ts_regression", "n_first_state"
+    )
+    return assemble_conversation_report(rep, counts)
+
 
 def materialize(df: DataFrame) -> None:
     """Force full evaluation without driver transfer.
@@ -71,11 +197,18 @@ def materialize(df: DataFrame) -> None:
 
 
 def all_violations(
-    spark: SparkSession, df: DataFrame, rules: dict | None = None
+    spark: SparkSession,
+    df: DataFrame,
+    rules: dict | None = None,
+    sequence_checks: bool = False,
 ) -> DataFrame:
-    """Rule + uniqueness + referential violations in ONE normalized
-    DataFrame (conv_id, turn_idx, field, rule, value) — the single
-    violations sink the audit table ingests."""
+    """Rule + uniqueness + referential (+ optionally sequence)
+    violations in ONE normalized DataFrame (conv_id, turn_idx, field,
+    rule, value) — the single violations sink the audit table ingests.
+
+    ``sequence_checks`` unions in the role-transition / ordering /
+    null-state family (:func:`sequence_violation_rows`) — one extra
+    window shuffle keyed by conversation."""
     res = validate(df, rules or TRANSCRIPT_RULES, key_cols=KEY_COLS)
     uniq = uniqueness_violations(df, KEY_COLS).select(
         *KEY_COLS,
@@ -84,7 +217,10 @@ def all_violations(
         F.col("n_dup").cast("string").alias("value"),
     )
     ref = referential_violations(df, "tool", tool_catalog(spark), "tool", KEY_COLS)
-    return res.violations().unionAll(uniq).unionAll(ref)
+    out = res.violations().unionAll(uniq).unionAll(ref)
+    if sequence_checks:
+        out = out.unionAll(sequence_violation_rows(df))
+    return out
 
 
 def drift_reports(df: DataFrame, baseline: DataFrame | None = None) -> DataFrame:
@@ -215,24 +351,30 @@ def full_validation(
     df: DataFrame,
     baseline: DataFrame | None = None,
     rules: dict | None = None,
+    sequence_checks: bool = False,
 ) -> dict[str, DataFrame]:
     """Build (lazily) every check's result DataFrame for a transcript
     table.  ``baseline`` defaults to the older half of ``df`` by median
     timestamp — in production it is the frozen snapshot table;
-    ``rules`` overrides the default transcript rule set."""
-    violations = all_violations(spark, df, rules)
+    ``rules`` overrides the default transcript rule set;
+    ``sequence_checks`` adds the sequence family to the violations
+    sink plus the per-conversation ``conversation_health`` gate."""
+    violations = all_violations(spark, df, rules, sequence_checks=sequence_checks)
     res_summary = violations.groupBy("field", "rule").agg(
         F.count(F.lit(1)).alias("n_violations")
     )
     # partition summary needs the annotated frame (pass/fail per row)
     annotated = validate(df, rules or TRANSCRIPT_RULES, key_cols=KEY_COLS)
-    return {
+    out = {
         "all_violations": violations,
         "rule_summary": res_summary,
         "partition_summary": annotated.partition_summary(),
         "column_stats": transcript_stats(df),
         "drift": drift_reports(df, baseline),
     }
+    if sequence_checks:
+        out["conversation_health"] = conversation_health(df)
+    return out
 
 
 def run_full_validation(
@@ -241,6 +383,7 @@ def run_full_validation(
     baseline: DataFrame | None = None,
     sink_dir: str | None = None,
     rules: dict | None = None,
+    sequence_checks: bool = False,
 ) -> None:
     """Materialize every check (the benched unit of work): 5 actions,
     submitted from a small driver-side thread pool.
@@ -262,17 +405,22 @@ def run_full_validation(
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    violations = all_violations(spark, df, rules)
+    violations = all_violations(spark, df, rules, sequence_checks=sequence_checks)
     annotated = validate(df, rules or TRANSCRIPT_RULES, key_cols=KEY_COLS)
 
-    def violations_and_summary() -> None:
+    import threading
+
+    sink_written = threading.Event()
+
+    def violations_task() -> None:
         if sink_dir:
-            violations.write.mode("overwrite").parquet(f"{sink_dir}/violations")
-            sunk = spark.read.parquet(f"{sink_dir}/violations")
-            summary = sunk.groupBy("field", "rule").agg(
-                F.count(F.lit(1)).alias("n_violations")
-            )
-            materialize(summary)
+            try:
+                violations.write.mode("overwrite").parquet(f"{sink_dir}/violations")
+            finally:
+                # ALWAYS release the rollup task — on write failure it
+                # reads the missing path and fails loudly too, instead
+                # of deadlocking the pool
+                sink_written.set()
         else:
             materialize(violations)
             materialize(
@@ -281,12 +429,33 @@ def run_full_validation(
                 )
             )
 
+    def rollups_task() -> None:
+        # summary + health derive FROM the sink (audit table -> rollup,
+        # the production shape): the rule cascade and the sequence
+        # window pass each ran exactly once, into the sink.  Gated on
+        # the write, in their own thread so they share only the WAIT
+        # with the violations task, not its thread.
+        sink_written.wait()
+        sunk = spark.read.parquet(f"{sink_dir}/violations")
+        materialize(
+            sunk.groupBy("field", "rule").agg(
+                F.count(F.lit(1)).alias("n_violations")
+            )
+        )
+        if sequence_checks:
+            materialize(conversation_health_from_violations(df, sunk))
+
     tasks = [
-        violations_and_summary,
+        violations_task,
         lambda: materialize(annotated.partition_summary()),
         lambda: materialize(transcript_stats(df)),
         lambda: materialize(drift_reports(df, baseline)),
     ]
+    if sink_dir:
+        tasks.append(rollups_task)
+    if sequence_checks and not sink_dir:
+        # no sink to roll up from: pay the recompute in its own task
+        tasks.append(lambda: materialize(conversation_health(df)))
     with ThreadPoolExecutor(max_workers=len(tasks)) as pool:
         futures = [pool.submit(t) for t in tasks]
         for f in futures:

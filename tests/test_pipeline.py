@@ -224,3 +224,52 @@ def test_validate_job_suggest_rules_bootstrap(spark, transcripts, tmp_path):
     assert rc2 == 0
     v = spark.read.parquet(f"{sink}/violations")
     assert v.filter(F.col("rule") == "allowed").count() == 0
+
+
+def test_pipeline_sequence_checks_flag(spark, transcripts):
+    """sequence_checks=True unions the sequence family into the
+    violations sink (rules prefixed 'seq_') and adds the
+    conversation_health output; counts equal the standalone
+    (oracle-gated) operators' — composition, not new math.  Flag off:
+    neither appears, so pre-r5 consumers see the unchanged shape."""
+    from cerberus_spark import pipeline
+
+    outs = pipeline.full_validation(spark, transcripts, sequence_checks=True)
+    seq_rows = outs["all_violations"].filter(F.col("rule").startswith("seq_"))
+    standalone = pipeline.sequence_violation_rows(transcripts)
+    n_seq = standalone.count()
+    assert n_seq > 0  # generator's 'critic' roles break the grammar
+    assert seq_rows.count() == n_seq
+    assert set(seq_rows.columns) == {"conv_id", "turn_idx", "field", "rule", "value"}
+
+    health = outs["conversation_health"]
+    assert {"conv", "n_turns", "n_transition", "keep"} <= set(health.columns)
+    assert health.count() == transcripts.select("conv_id").distinct().count()
+    assert health.filter(~F.col("keep")).count() > 0
+
+    outs0 = pipeline.full_validation(spark, transcripts)
+    assert "conversation_health" not in outs0
+    assert (
+        outs0["all_violations"].filter(F.col("rule").startswith("seq_")).count() == 0
+    )
+    # the benched unit (thread-pooled) runs green with the flag on
+    pipeline.run_full_validation(spark, transcripts, sequence_checks=True)
+
+
+def test_conversation_health_from_sink_equals_direct(spark, transcripts, tmp_path):
+    """The sink rollup (seq_* rows -> per-conv counts) must reproduce
+    conversation_health(df) exactly — the benched path never pays the
+    sequence window pass twice, and loses nothing for it."""
+    from cerberus_spark import pipeline
+
+    sink = str(tmp_path / "sink")
+    pipeline.run_full_validation(spark, transcripts, sink_dir=sink, sequence_checks=True)
+    sunk = spark.read.parquet(f"{sink}/violations")
+    rolled = {
+        r.conv: tuple(r)
+        for r in pipeline.conversation_health_from_violations(transcripts, sunk).collect()
+    }
+    direct = {
+        r.conv: tuple(r) for r in pipeline.conversation_health(transcripts).collect()
+    }
+    assert rolled == direct and len(direct) > 0

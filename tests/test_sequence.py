@@ -277,3 +277,48 @@ def test_conversation_report_hand_checked(spark, seq_df):
     assert b.n_ts_regression == 1
     # c: leading gap (starts at 2) -> missing 0,1; grammar clean
     assert not c.keep and c.n_missing == 2 and c.n_transition == 0
+
+
+def test_sequence_violations_idx_density_matches_contiguity_report(spark):
+    """The idx_col density rules (dup_idx / idx_gap / below_start)
+    derived from the ONE window pass must reproduce
+    contiguity_report's per-conv counters exactly — leading gaps,
+    below-start strays, duplicates, and clean conversations."""
+    from cerberus_spark.checks.sequence import contiguity_report, sequence_violations
+
+    rows = [
+        # A: clean dense 0..3
+        *[("A", i, "user", i) for i in range(4)],
+        # B: leading gap (starts at 3) + interior gap (skips 5)
+        ("B", 3, "user", 0), ("B", 4, "user", 1), ("B", 6, "user", 2),
+        # C: duplicates at 1 (x3) and a gap before 4
+        ("C", 0, "user", 0), ("C", 1, "user", 1), ("C", 1, "user", 2),
+        ("C", 1, "user", 3), ("C", 4, "user", 4),
+        # D: below-start strays (incl. a below-start dup) then 0,1
+        ("D", -2, "user", 0), ("D", -2, "user", 1), ("D", -1, "user", 2),
+        ("D", 0, "user", 3), ("D", 1, "user", 4),
+        # E: entirely below start
+        ("E", -5, "user", 0), ("E", -3, "user", 1),
+        # F: single row far from start
+        ("F", 7, "user", 0),
+    ]
+    df = spark.createDataFrame(rows, "conv string, idx int, st string, t long")
+    allowed = {("user", "user")}
+    seq = sequence_violations(
+        df, "conv", "st", "t", ["idx", "t"], allowed, idx_col="idx"
+    )
+    got = {}
+    for r in seq.collect():
+        d = got.setdefault(r.conv, {"dup": 0, "gap": 0, "below": 0})
+        if r.rule == "dup_idx":
+            d["dup"] += 1
+        elif r.rule == "idx_gap":
+            d["gap"] += r.gap_size
+        elif r.rule == "below_start":
+            d["below"] += 1
+    expect = {
+        r.conv: {"dup": r.n_dup_idx, "gap": r.n_missing, "below": r.n_below_start}
+        for r in contiguity_report(df, "conv", "idx").collect()
+    }
+    for conv, e in expect.items():
+        assert got.get(conv, {"dup": 0, "gap": 0, "below": 0}) == e, (conv, e, got.get(conv))
