@@ -2060,74 +2060,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stalwarts (TPC-H shapes, pivot/cube, simple aggs) sit in the tail.
     # scripts/oracle_check.py still verifies ALL entries locally.
     return {
-
-        # WINDOW ROTATION (r4): the driver gates the FIRST 50 entries.
-        # Priority: (a) pairs whose implementation changed since their
-        # last driver gate, (b) never-gated new pairs, (c) the 50 pairs
-        # last gated in r2 (ran on r2 code), oldest exposure first.
-        # Tail: r3-gated pairs on since-unchanged code, then the
-        # long-green TPC-H/pivot/cube stalwarts.  ALL 104 stay locally
-        # green via scripts/oracle_check.py every round.
+        # WINDOW ROTATION (r5): the driver gates the FIRST 50 entries.
+        # Priority: (a) pairs whose implementation changed in r5 since
+        # their r4 gate — sequence_dups (per-token-hashed fingerprint),
+        # cluster_reps (portable min_by tiebreak), null_rate_drift
+        # (collision-proof aliases), the three connected_components
+        # consumers (threshold default + checkpoint reclaim), and the
+        # two sequence-operator pairs (idx_col param / shared assembly
+        # refactor — default plans unchanged, re-gated anyway);
+        # (b) never-gated new pairs (TPC-H Q2/Q13/Q16 shapes);
+        # (c) the stalest never-r4-gated pairs, oldest exposure first
+        # (r2/r3-gated; VERDICT r4 asked exactly this rotation).
+        # Tail: r4-gated pairs on since-unchanged code, the 21 stale
+        # pairs that did not fit (they remain locally green at three
+        # SFs via scripts/oracle_check.py), then TPC-H stalwarts.
+        "sequence_dups": q_sequence_dups,
+        "cluster_reps": q_cluster_reps,
+        "null_rate_drift": q_null_rate_drift,
+        "dedup_clusters": q_dedup_clusters,
+        "winnow_clusters": q_winnow_clusters,
+        "leak_safe_split": q_leak_safe_split,
+        "sequence_violations": q_sequence_violations,
+        "conversation_gate": q_conversation_gate,
+        # (b) never-gated:
         "q2_min_price_part": q2_min_price_part,
         "q13_customer_distribution": q13_customer_distribution,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
-        "pack_documents": q_pack_documents,
-        "sequence_violations": q_sequence_violations,
-        "lineitem_contiguity": q_lineitem_contiguity,
-        "fuzzy_pairs": q_fuzzy_pairs,
-        "embedding_neardup": q_embedding_neardup,
-        "cosine_neardup_capped": q_cosine_neardup_capped,
-        "normalize_nfc": q_normalize_nfc,
-        "gopher_gate": q_gopher_gate,
-        "merge_intervals": q_merge_intervals,
-        "ngram_repetition": q_ngram_repetition,
-        "doc_repetition": q_doc_repetition,
-        "ivf_topk_probes": q_ivf_topk_probes,
-        "w1_drift": q_w1_drift,
-        "conversation_gate": q_conversation_gate,
-        "null_rate_drift": q_null_rate_drift,
-        "normalize_phase": q_normalize_phase,
-        "validate_events": q_validate_events,
-        "validate_docs": q_validate_docs,
-        "validation_summary": q_validation_summary,
-        "classify_events": q_classify_events,
-        "uniqueness_user_day": q_uniqueness_user_day,
-        "referential_orphans": q_referential_orphans,
-        "referential_lineitem_part": q_referential_lineitem_part,
-        "column_profile_events": q_column_profile_events,
-        "quantiles_doclen": q_quantiles_doclen,
-        "drift_event_type": q_drift_event_type,
-        "drift_value": q_drift_value,
-        "user_profile": q_user_profile,
-        "first_occurrence": q_first_occurrence,
-        "topk_per_user": q_topk_per_user,
-        "sessionize": q_sessionize,
-        "session_window_stats": q_session_window_stats,
-        # (a)-late: connected_components gained the driver union-find
-        # fast path after the r4 rotation — both CC consumers re-enter
-        # the window; embedding_norms / enrich_lookup (unchanged,
-        # trivial shapes, r2-gated) rotate to the tail to make room.
-        "winnow_clusters": q_winnow_clusters,
-        "leak_safe_split": q_leak_safe_split,
-        "ivf_topk": q_ivf_topk,
-        "stream_validate": q_stream_validate,
-        # (b)-late: never-gated pairs added after the r4 rotation;
-        # salted_label_counts / semi_join_flag (unchanged, trivial
-        # shapes, r2-gated) rotate to the tail to make room.
-        "cluster_reps": q_cluster_reps,
-        "sequence_dups": q_sequence_dups,
-        "extract_props_k": q_extract_props_k,
-        "multimodal_features": q_multimodal_features,
-        "doc_quality": q_doc_quality,
-        "lang_id": q_lang_id,
-        "doc_fingerprints": q_doc_fingerprints,
-        "exact_dup_groups": q_exact_dup_groups,
-        "minhash_signatures": q_minhash_signatures,
-        "minhash_candidates": q_minhash_candidates,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_capped": q_ngram_jaccard_capped,
-        "dedup_clusters": q_dedup_clusters,
-        "simhash": q_simhash,
+        # (c) stalest-first (r2/r3-gated, never r4-gated):
         "running_total": q_running_total,
         "tumbling_counts": q_tumbling_counts,
         "event_rollup": q_event_rollup,
@@ -2167,6 +2126,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_nested": q_validate_nested,
         "sketch_quantiles": q_sketch_quantiles,
         "minhash_candidates_capped": q_minhash_candidates_capped,
+        # ---- tail: not gated this round, locally green ----
+        "pack_documents": q_pack_documents,
+        "lineitem_contiguity": q_lineitem_contiguity,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "embedding_neardup": q_embedding_neardup,
+        "cosine_neardup_capped": q_cosine_neardup_capped,
+        "normalize_nfc": q_normalize_nfc,
+        "gopher_gate": q_gopher_gate,
+        "merge_intervals": q_merge_intervals,
+        "ngram_repetition": q_ngram_repetition,
+        "doc_repetition": q_doc_repetition,
+        "ivf_topk_probes": q_ivf_topk_probes,
+        "w1_drift": q_w1_drift,
+        "normalize_phase": q_normalize_phase,
+        "validate_events": q_validate_events,
+        "validate_docs": q_validate_docs,
+        "validation_summary": q_validation_summary,
+        "classify_events": q_classify_events,
+        "uniqueness_user_day": q_uniqueness_user_day,
+        "referential_orphans": q_referential_orphans,
+        "referential_lineitem_part": q_referential_lineitem_part,
+        "column_profile_events": q_column_profile_events,
+        "quantiles_doclen": q_quantiles_doclen,
+        "drift_event_type": q_drift_event_type,
+        "drift_value": q_drift_value,
+        "user_profile": q_user_profile,
+        "first_occurrence": q_first_occurrence,
+        "topk_per_user": q_topk_per_user,
+        "sessionize": q_sessionize,
+        "session_window_stats": q_session_window_stats,
+        "ivf_topk": q_ivf_topk,
+        "stream_validate": q_stream_validate,
+        "extract_props_k": q_extract_props_k,
+        "multimodal_features": q_multimodal_features,
+        "doc_quality": q_doc_quality,
+        "lang_id": q_lang_id,
+        "doc_fingerprints": q_doc_fingerprints,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_candidates": q_minhash_candidates,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "simhash": q_simhash,
         "simhash_candidates_capped": q_simhash_candidates_capped,
         "simhash_candidates": q_simhash_candidates,
         "cosine_topk": q_cosine_topk,
