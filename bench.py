@@ -34,6 +34,16 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 TMP = os.path.join(REPO, ".bench_tmp")
+# Shuffle scratch + violations sink on tmpfs: executor-local-disk
+# stand-in.  This sandbox has ONE virtio disk shared by all 32 cores;
+# on a real cluster shuffle files and sink parts go to per-executor
+# local SSDs (IO bandwidth scales with executors).  Measured r5: the
+# conv-window stage serialized on the shared ext4 scratch (~15 s at 32
+# cores at 57M turns) vs ~5 s with spark.local.dir on /dev/shm at
+# near-zero physical disk writes — see scripts/profile_scaling.py and
+# BASELINE.md §BENCH.
+SHM = "/dev/shm" if os.path.isdir("/dev/shm") else TMP
+SHM_SCRATCH = os.path.join(SHM, "cerberus_bench_scratch")
 
 #: transcript conversations per unit sf (sf0.1 -> 150k convs ~ 1.07M turns)
 CONVS_PER_SF = 1_500_000
@@ -109,7 +119,8 @@ def bench_transcripts(spark, sf: float) -> dict:
         # per-conversation health gate belong in the benched job
         # (r5; headline rows before r5 exclude them)
         run_full_validation(
-            spark, df, sink_dir=os.path.join(TMP, "sink"), sequence_checks=True
+            spark, df, sink_dir=os.path.join(SHM_SCRATCH, "sink"),
+            sequence_checks=True,
         )
         walls.append(time.perf_counter() - t0)
         steals.append(steal_pct(s0, read_cpu_ticks()))
@@ -143,7 +154,11 @@ def main() -> None:
     from cerberus_spark.session import get_spark
 
     sf = parse_sf(SF_DIR)
-    spark = get_spark(parallelism=CPUS, app_name="cerberus_bench")
+    spark = get_spark(
+        parallelism=CPUS,
+        app_name="cerberus_bench",
+        extra_conf={"spark.local.dir": os.path.join(SHM_SCRATCH, "local")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     run_s0 = read_cpu_ticks()
@@ -151,7 +166,9 @@ def main() -> None:
     queries = {} if os.environ.get("BENCH_SKIP_QUERIES") else bench_queries(spark)
     run_steal = steal_pct(run_s0, read_cpu_ticks())
 
+    spark.stop()
     shutil.rmtree(TMP, ignore_errors=True)
+    shutil.rmtree(SHM_SCRATCH, ignore_errors=True)
     result = {
         "metric": "turns validated/sec (full rule-set + uniqueness + referential + column stats + drift + sequence/conversation checks)",
         "value": head["pipeline_sec"],

