@@ -1072,6 +1072,204 @@ def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the fact row joins TWO copies of the same dim
+    chain (supplier→nation and customer-via-orders→nation), both
+    broadcast, with the nation-pair disjunction applied after; revenue
+    per (supp_nation, cust_nation, ship year).  Self-joined dims must
+    be aliased column-wise — Spark resolves by name, so each nation
+    copy gets its own key/name aliases."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = F.col("supp_nation").isin("NATION_1", "NATION_2", "NATION_3") & F.col(
+        "cust_nation"
+    ).isin("NATION_4", "NATION_5", "NATION_6")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_snk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk"))
+        .filter(pair)
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue of returned items per customer in a
+    ship-date year, aggregated BEFORE the customer join (pre-agg keeps
+    the join input |custkeys|, not |lineitems|), deterministic top-20."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    j = rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey).select(
+        "c_custkey", "c_name", "c_acctbal", "revenue"
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+    return j.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-group value filtered by HAVING against a
+    GLOBAL scalar aggregate — the scalar is a broadcast 1-row cross
+    join, never a second correlated pass (lineitem stands in for
+    partsupp in this schema).  The threshold is scale-free (1.2x the
+    mean per-part value, so the pair is non-trivial at every sf) and
+    both compare sides are rounded to cents, so the float
+    summation-order difference between engines cannot flip it."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    per = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("part_value")
+    )
+    total = per.agg(
+        F.round(F.lit(1.2) * F.avg("part_value"), 2).alias("_threshold")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("_threshold"))
+        .select("l_partkey", "part_value")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue %)
+    over one month — broadcast part dim, single-row output, ratio
+    rounded to 4 places (double division noise ~1e-12)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("promo_pct")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-part AVG subquery, decorrelated
+    into one per-part aggregate broadcast back onto the scan.  The
+    compare is engine-exact WITHOUT rounding: l_quantity is
+    integer-valued, so per-part sums are exact doubles and avg = exact
+    sum / exact count is bit-identical in both engines."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
+        .select("p_partkey")
+    )
+    avgs = li.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    j = (
+        li.join(F.broadcast(brand), li.l_partkey == brand.p_partkey)
+        .join(F.broadcast(avgs), li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: double-correlated EXISTS / NOT EXISTS —
+    suppliers who were the ONLY supplier with a returned item in a
+    multi-supplier order.  Decorrelated Spark-first: per-order
+    distinct-supplier counts (overall and returned-only) computed once
+    and joined back, replacing both correlated subqueries; the DuckDB
+    oracle keeps the literal EXISTS/NOT EXISTS pair."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    r_rows = li.filter(F.col("l_returnflag") == "R")
+    cand = r_rows.select("l_orderkey", "l_suppkey").distinct()
+    ostats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp")
+    )
+    rstats = r_rows.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_rsupp")
+    )
+    waiting = (
+        cand.join(ostats, "l_orderkey")
+        .join(rstats, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_rsupp") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per = (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+    )
+    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+    return per.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: global scalar AVG subquery + NOT EXISTS —
+    customers above the positive-balance average with no RECENT orders
+    (the pushed-down date filter inside the NOT EXISTS), per market
+    segment.  The scalar is a broadcast 1-row cross join; the NOT
+    EXISTS is a shuffle anti join against filtered orders (both sides
+    fact-sized — the one legitimately shuffling join in this family)."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.round(F.avg("c_acctbal"), 4).alias("_avg_bal")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis
 # ---------------------------------------------------------------------------
@@ -2086,7 +2284,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q2_min_price_part": q2_min_price_part,
         "q13_customer_distribution": q13_customer_distribution,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
-        # (c) stalest-first (r2/r3-gated, never r4-gated):
+        "q7_volume_shipping": q7_volume_shipping,
+        "q10_returned_items": q10_returned_items,
+        "q11_important_parts": q11_important_parts,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
+        "q22_idle_rich_customers": q22_idle_rich_customers,
+        # (c) stalest-first (r2/r3-gated, never r4-gated; the 7 new
+        # planner-shape pairs above displace this block's last 7 into
+        # the tail — those remain locally green at three SFs):
         "running_total": q_running_total,
         "tumbling_counts": q_tumbling_counts,
         "event_rollup": q_event_rollup,
@@ -2119,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outliers_zscore": q_outliers_zscore,
         "fd_violations": q_fd_violations,
         "snapshot_diff": q_snapshot_diff,
+        # ---- tail: not gated this round, locally green ----
         "reindex_turns": q_reindex_turns,
         "topk_sketch": q_topk_sketch,
         "contamination": q_contamination,
@@ -2126,7 +2334,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_nested": q_validate_nested,
         "sketch_quantiles": q_sketch_quantiles,
         "minhash_candidates_capped": q_minhash_candidates_capped,
-        # ---- tail: not gated this round, locally green ----
         "pack_documents": q_pack_documents,
         "lineitem_contiguity": q_lineitem_contiguity,
         "fuzzy_pairs": q_fuzzy_pairs,
@@ -3368,6 +3575,97 @@ SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
 GROUP BY p_brand, p_size
+""",
+        "q7_volume_shipping": """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND n2.n_name IN ('NATION_4', 'NATION_5', 'NATION_6')
+GROUP BY 1, 2, 3
+""",
+        "q10_returned_items": """
+SELECT c_custkey, c_name, c_acctbal, revenue, rk FROM (
+  SELECT c.c_custkey, c.c_name, c.c_acctbal, r.revenue,
+         row_number() OVER (ORDER BY r.revenue DESC, c.c_custkey ASC) AS rk
+  FROM (
+    SELECT o.o_custkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY o.o_custkey
+  ) r JOIN customer c ON r.o_custkey = c.c_custkey
+) WHERE rk <= 20
+""",
+        "q11_important_parts": """
+WITH p AS (
+  SELECT l_partkey, round(sum(l_extendedprice), 2) AS part_value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, part_value FROM p
+WHERE part_value > (SELECT round(1.2 * avg(part_value), 2) FROM p)
+""",
+        "q14_promo_revenue": """
+SELECT round(
+  100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount)
+                   ELSE 0.0 END)
+        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+""",
+        "q17_small_quantity_revenue": """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
+  AND l.l_quantity < 0.5 * (
+    SELECT avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+""",
+        "q21_waiting_suppliers": """
+SELECT s_name, numwait, rk FROM (
+  SELECT s_name, numwait,
+         row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS rk
+  FROM (
+    SELECT s.s_name, count(*)::BIGINT AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem WHERE l_returnflag = 'R') l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+  )
+) WHERE rk <= 20
+""",
+        "q22_idle_rich_customers": """
+SELECT c_mktsegment, count(*)::BIGINT AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_mktsegment
 """,
         "q3_top_revenue_orders": """
 SELECT o_orderkey, revenue, rk FROM (

@@ -362,3 +362,72 @@ def test_sequence_fingerprints_single_shuffle_no_python(spark):
     # an eval operator)
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# relational planner shapes (TPC-H-style contract queries, r5 additions)
+# ---------------------------------------------------------------------------
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q7_dims_broadcast_single_fact_shuffle_join(spark):
+    """Q7 shape: supplier/customer/nation(x2) must all be broadcast —
+    the only non-broadcast join allowed is the fact-fact
+    lineitem<->orders equi join (shuffle on the order key)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q7_volume_shipping(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q10_aggregates_before_customer_join(spark):
+    """Q10 shape: per-customer revenue reduces lineitem rows BEFORE the
+    customer join — the broadcast join's streamed side must be the
+    aggregate, so the join input is |custkeys|, not |lineitems|."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q10_returned_items(spark, SF_DIR))
+    # formatted-mode node ids: children are numbered before parents.
+    # The required sandwich is orders-join -> revenue aggregate ->
+    # customer-join: the aggregate sits ABOVE the orders join (id
+    # greater than the innermost join) and BELOW the customer join (id
+    # smaller than the outermost join), so the dim join's input is
+    # |custkeys|, not |lineitems|.
+    agg_ids = [int(m) for m in re.findall(r"\((\d+)\) HashAggregate", plan)]
+    bhj_ids = [int(m) for m in re.findall(r"\((\d+)\) BroadcastHashJoin", plan)]
+    assert agg_ids and len(bhj_ids) == 2, plan
+    assert min(bhj_ids) < min(agg_ids) < max(agg_ids) < max(bhj_ids), plan
+
+
+def test_q11_global_scalar_is_broadcast_not_cartesian(spark):
+    """Q11 shape: the HAVING-against-global-total threshold is a 1-row
+    broadcast (BroadcastNestedLoopJoin over a single aggregate row),
+    never a CartesianProduct or a second correlated scan."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q11_important_parts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q21_no_expand_two_phase_distincts(spark):
+    """Q21 shape: each per-order distinct-supplier count is a single
+    distinct aggregate (two-phase HashAggregate) — the Expand operator
+    (multi-distinct rewrite, |rows| x |aggs| blowup) must not appear."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q21_waiting_suppliers(spark, SF_DIR))
+    assert "Expand" not in plan, plan
+
+
+def test_q17_avg_subquery_decorrelated_to_broadcast(spark):
+    """Q17 shape: the per-part AVG 'subquery' runs ONCE as an aggregate
+    joined back by broadcast — no correlated re-scan, no NLJ."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q17_small_quantity_revenue(spark, SF_DIR))
+    assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
