@@ -1270,6 +1270,241 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share — the widest dim chain in
+    the suite (lineitem x orders x part x supplier x customer x
+    nation x2 x region), every dim broadcast, then a per-year
+    conditional-aggregate ratio.  Cross-engine determinism: numerator
+    and denominator are EACH rounded to cents first, so the final
+    ratio divides two already-identical numbers (a raw
+    round(sum/sum, n) can flip on summation-order noise; two rounded
+    sums cannot)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "2000-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat_s = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    asia = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("_cnk"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(asia), F.col("c_nationkey") == F.col("_cnk"), "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat_s), F.col("s_nationkey") == F.col("_snk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                2,
+            ).alias("_num"),
+            F.round(F.sum(rev), 2).alias("_den"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("mkt_share"),
+        )
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier-nation per order-year over a
+    part-name LIKE filter.  This schema has no partsupp, so supply
+    cost is derived from the part dim (0.5 * p_retailprice per unit —
+    same column reference pattern as Q9's ps_supplycost, still a
+    per-part broadcast attribute).  The LIKE lands on the tiny part
+    dim scan; the fact side joins it broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.5
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("_nk"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").alias("o_year")
+    ).agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view + scalar-MAX subquery — the
+    supplier(s) whose quarterly revenue equals the global maximum.
+    Spark-first: the per-supplier aggregate is computed ONCE, its max
+    reduced to a 1-row broadcast, and the equality applied as a
+    filter (never a second scan of the fact); revenue is rounded to
+    cents before BOTH the max and the equality, so the compare is
+    engine-exact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    top = per.agg(F.max("total_revenue").alias("_max_rev"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("_max_rev"))
+        .join(F.broadcast(supp), per.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a three-branch disjunction whose every branch
+    references BOTH join sides (brand+size from part, quantity from
+    lineitem) — the predicate Catalyst cannot push through the join.
+    Spark-first: the per-side IMPLIED filters (the union of each
+    side's branch ranges) are stated explicitly so both scans prune
+    before the join; the exact disjunction then runs on the joined
+    rows.  The DuckDB oracle keeps the literal OR-of-ANDs form."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    qty = F.col("l_quantity")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 15)
+            & qty.between(20, 30)
+        )
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).filter(branch)
+    return j.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q20_dominant_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain with a correlated
+    per-part threshold — ASIA-region suppliers who, for some PROMO
+    part, shipped more than 1.5x that part's mean per-supplier volume
+    in 1997 (the partsupp availqty correlate, re-expressed on this
+    schema's lineitem bridge).  Decorrelated Spark-first: ONE
+    (supplier, part) aggregate, its per-part mean broadcast back,
+    then two broadcast semi joins; quantities are integer-valued so
+    sums and the mean are exact doubles — the 1.5x compare is
+    engine-exact without rounding (same argument as Q17)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    sp = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    means = sp.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("_qty").alias("_mean_qty")
+    )
+    dominant = (
+        sp.join(F.broadcast(means), sp.l_partkey == F.col("_pk"))
+        .filter(F.col("_qty") > 1.5 * F.col("_mean_qty"))
+        .select("l_suppkey")
+    )
+    asia_nat = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    return (
+        supp.join(
+            F.broadcast(asia_nat),
+            supp.s_nationkey == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(dominant),
+            supp.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries — text analysis
 # ---------------------------------------------------------------------------
@@ -2291,8 +2526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_idle_rich_customers": q22_idle_rich_customers,
-        # (c) stalest-first (r2/r3-gated, never r4-gated; the 7 new
-        # planner-shape pairs above displace this block's last 7 into
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q20_dominant_promo_suppliers": q20_dominant_promo_suppliers,
+        # (c) stalest-first (r2/r3-gated, never r4-gated; the 12 new
+        # planner-shape pairs above displace this block's last 12 into
         # the tail — those remain locally green at three SFs):
         "running_total": q_running_total,
         "tumbling_counts": q_tumbling_counts,
@@ -3666,6 +3906,80 @@ WHERE c.c_acctbal > (
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
+""",
+        "q8_market_share": """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(
+         round(sum(CASE WHEN n1.n_name = 'NATION_1'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0.0 END), 2)
+         / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 6) AS mkt_share
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+JOIN region r ON n2.n_regionkey = r.r_regionkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+WHERE p.p_type = 'STANDARD' AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '2000-01-01'
+GROUP BY 1
+""",
+        "q9_product_profit": """
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.5 * p.p_retailprice * l.l_quantity), 2) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+""",
+        "q15_top_supplier": """
+WITH revenue AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""",
+        "q19_disjunctive_revenue": """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)
+""",
+        "q20_dominant_promo_suppliers": """
+WITH sp AS (
+  SELECT l.l_suppkey, l.l_partkey, sum(l.l_quantity) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'PROMO'
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+)
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND s.s_suppkey IN (
+    SELECT sp.l_suppkey FROM sp
+    WHERE sp.qty > 1.5 * (SELECT avg(sp2.qty) FROM sp sp2
+                          WHERE sp2.l_partkey = sp.l_partkey))
 """,
         "q3_top_revenue_orders": """
 SELECT o_orderkey, revenue, rk FROM (

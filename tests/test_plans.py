@@ -431,3 +431,64 @@ def test_q17_avg_subquery_decorrelated_to_broadcast(spark):
     plan = plan_of(entry.q17_small_quantity_revenue(spark, SF_DIR))
     assert "NestedLoop" not in plan.replace("BroadcastNestedLoopJoin", ""), plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_q8_widest_dim_chain_single_fact_shuffle(spark):
+    """Q8 shape: part/customer/supplier/nation(x2)/region all reach the
+    fact by broadcast (hash or left-semi); the only shuffle join
+    allowed is lineitem<->orders."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q8_market_share(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q9_like_filter_pushed_to_part_scan(spark):
+    """Q9 shape: the p_name LIKE lands on the part dim scan as a
+    pushed StringContains — never a post-join filter over fact rows —
+    and part joins the fact broadcast."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q9_product_profit(spark, SF_DIR))
+    assert "StringContains(p_name,widget)" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1, plan
+
+
+def test_q15_scalar_max_is_one_row_broadcast(spark):
+    """Q15 shape: the MAX-revenue 'subquery' reduces the per-supplier
+    aggregate to one broadcast row — no CartesianProduct, no second
+    correlated pass (exactly one aggregate pair over the fact scan)."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q15_top_supplier(spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_q19_implied_per_side_filters_reach_both_scans(spark):
+    """Q19 shape: the cross-side disjunction itself cannot push through
+    the join, but its per-side implications must — brand IN and size
+    range on the part scan, the quantity envelope on the lineitem
+    scan."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q19_disjunctive_revenue(spark, SF_DIR))
+    assert re.search(r"PushedFilters:.*In\(p_brand", plan), plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_quantity,1\.0\)", plan), plan
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_quantity,30\.0\)", plan), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q20_semi_join_chain_all_broadcast(spark):
+    """Q20 shape: the nested IN/EXISTS chain decorrelates to broadcast
+    (semi) joins only — zero shuffle joins; the sole exchanges are the
+    (supplier, part) aggregate's."""
+    import __spark_entry__ as entry
+
+    plan = plan_of(entry.q20_dominant_promo_suppliers(spark, SF_DIR))
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
