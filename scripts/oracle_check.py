@@ -4,10 +4,18 @@ the same scale factor, compare row counts + column names + sorted
 stringified values.
 
 Usage: python scripts/oracle_check.py [sf_dir] [query ...]
+
+Env: ORACLE_CHECK_CPUS / ORACLE_CHECK_SHUFFLE override the session's
+parallelism and shuffle-partition count (default 16 / 2x cores).  Runs
+at a perverse layout (odd core count, non-power-of-2 shuffle) prove the
+contract's partition-count invariance: different partitionings mean
+different float summation orders and different shuffle layouts, so any
+pair that only matched DuckDB by summation-order luck fails here.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -41,7 +49,13 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
-    spark = get_spark(parallelism=16, driver_memory="12g")
+    cpus = int(os.environ.get("ORACLE_CHECK_CPUS", "16"))
+    shuffle = os.environ.get("ORACLE_CHECK_SHUFFLE")
+    spark = get_spark(
+        parallelism=cpus,
+        driver_memory="12g",
+        shuffle_partitions=int(shuffle) if shuffle else None,
+    )
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
