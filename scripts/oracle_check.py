@@ -51,10 +51,16 @@ def main() -> int:
         )
     cpus = int(os.environ.get("ORACLE_CHECK_CPUS", "16"))
     shuffle = os.environ.get("ORACLE_CHECK_SHUFFLE")
+    extra = (
+        {"spark.sql.adaptive.enabled": "false"}
+        if os.environ.get("ORACLE_CHECK_NO_AQE")
+        else None
+    )
     spark = get_spark(
         parallelism=cpus,
         driver_memory="12g",
         shuffle_partitions=int(shuffle) if shuffle else None,
+        extra_conf=extra,
     )
     qs = entry.queries()
     oracles = entry.oracle_sql()
