@@ -298,12 +298,30 @@ def minhash_dup_candidates(
     their other, non-degenerate bands; callers wanting the dropped
     population can aggregate ``F.size("ids") > cap`` themselves.
     """
+    # Loud misconfiguration guard: an out-of-range F.slice returns an
+    # EMPTY array, so bands*rows_per_band > len(sig) would silently
+    # give every document the same '' band signature — one global
+    # bucket, the exact quadratic blowup bucket_cap exists to prevent
+    # (simhash_candidates raises on the analogous mistake; so do we,
+    # at execution time since the length lives in the data).
+    sig_checked = F.when(
+        F.size("sig") < bands * rows_per_band,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "minhash_dup_candidates: bands*rows_per_band "
+                    f"({bands}*{rows_per_band}) exceeds signature length "
+                ),
+                F.size("sig").cast("string"),
+            )
+        ),
+    ).otherwise(F.col("sig"))
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),
             F.array_join(
                 F.transform(
-                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    F.slice(sig_checked, b * rows_per_band + 1, rows_per_band),
                     lambda x: x.cast("string"),
                 ),
                 "_",
@@ -321,7 +339,15 @@ def minhash_dup_candidates(
     )
     if bucket_cap is not None:
         buckets = buckets.filter(F.size("ids") <= bucket_cap)
-    # pair generation inside each bucket via nested transform+flatten
+    return bucket_pairs(buckets, "n_bands_shared")
+
+
+def bucket_pairs(buckets: DataFrame, count_alias: str) -> DataFrame:
+    """Bucket-local candidate-pair generation shared by every LSH-shaped
+    family (MinHash bands, winnowing fingerprints): given rows with a
+    sorted ``ids`` array, emit every in-bucket pair (id_a < id_b by the
+    sort) via nested transform+flatten — pure codegen, no join — then
+    count how many buckets each pair shares as ``count_alias``."""
     pairs = buckets.select(
         F.explode(
             F.flatten(
@@ -338,7 +364,7 @@ def minhash_dup_candidates(
             )
         ).alias("p")
     ).select("p.id_a", "p.id_b")
-    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias(count_alias))
 
 
 # ---------------------------------------------------------------------------
@@ -771,7 +797,11 @@ def sequence_fingerprints(
             md5_i64(seq).alias("seq_fp"),
             F.count(F.lit(1)).alias("n_items"),
         )
-    w = Window.partitionBy(key_col).orderBy(
+    # The window must partition by the POST-select name ("key"):
+    # key_col itself no longer exists after the aliasing select, so
+    # partitioning by it resolves only when key_col happens to be
+    # literally "key" (regression: test_chunked_fingerprint_renamed_key).
+    w = Window.partitionBy("key").orderBy(
         *[F.col(c) for c in order_cols], F.col("__tok")
     )
     numbered = df.select(F.col(key_col).alias("key"), *order_cols, tok).withColumn(

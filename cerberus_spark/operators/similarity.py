@@ -223,13 +223,15 @@ def train_centroids(
         .collect()
     )
     sample_rows.sort(key=lambda r: r.id)
+    if not sample_rows:
+        raise ValueError("train_centroids: no non-null, non-zero sample vectors")
     mat = np.asarray([r.v for r in sample_rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     mat = mat[norms > 0]
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     n = mat.shape[0]
     if n == 0:
         raise ValueError("train_centroids: no non-null, non-zero sample vectors")
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     k = min(n_centroids, n)
 
     # farthest-point init on the unit sphere (min max-cosine = max

@@ -163,23 +163,9 @@ def winnow_candidates(
     )
     if bucket_cap is not None:
         buckets = buckets.filter(F.size("ids") <= bucket_cap)
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("ids") - 2),
-                    lambda i: F.transform(
-                        F.slice(F.col("ids"), i + 2, F.size("ids")),
-                        lambda y: F.struct(
-                            F.element_at(F.col("ids"), i + 1).alias("id_a"),
-                            y.alias("id_b"),
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select("p.id_a", "p.id_b")
-    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    from cerberus_spark.operators.dedup import bucket_pairs
+
+    return bucket_pairs(buckets, "n_shared_fp")
 
 
 def remove_shared_spans(
@@ -240,7 +226,7 @@ def remove_shared_spans(
         .join(t.withColumnRenamed("_jid", "_victim").withColumnRenamed("_jtext", "_victim_text"), "_victim")
     )
 
-    id_t_early = docs.schema[id_col].dataType.simpleString()
+    id_t = docs.schema[id_col].dataType.simpleString()
     if distributed_merge:
         def spans(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from difflib import SequenceMatcher
@@ -271,7 +257,7 @@ def remove_shared_spans(
                 )
 
         span_df = joined.select("_victim", "_keep_text", "_victim_text").mapInPandas(
-            spans, schema=f"_victim {id_t_early}, lo long, hi long"
+            spans, schema=f"_victim {id_t}, lo long, hi long"
         )
         merged = merge_intervals(span_df, ["_victim"], "lo", "hi")
         grouped = merged.groupBy("_victim").agg(
@@ -344,7 +330,6 @@ def remove_shared_spans(
              "n_cut_chars": [len(text) - len(new_text)]}
         )
 
-    id_t = docs.schema[id_col].dataType.simpleString()
     cuts = joined.groupBy("_victim").applyInPandas(
         cut, schema=f"_victim {id_t}, _new_text string, n_cut_chars long"
     )

@@ -353,8 +353,12 @@ def full_validation(
     rules: dict | None = None,
     sequence_checks: bool = False,
 ) -> dict[str, DataFrame]:
-    """Build (lazily) every check's result DataFrame for a transcript
-    table.  ``baseline`` defaults to the older half of ``df`` by median
+    """Build every check's result DataFrame for a transcript table.
+    All entries are lazy EXCEPT ``drift`` when ``baseline`` is None:
+    the self-drift fallback runs its single histogram scan (and the
+    driver-side KL/PSI math on the histogram-sized collect) at build
+    time — pass an explicit baseline for a fully lazy dict.
+    ``baseline`` defaults to the older half of ``df`` by median
     timestamp — in production it is the frozen snapshot table;
     ``rules`` overrides the default transcript rule set;
     ``sequence_checks`` adds the sequence family to the violations

@@ -394,3 +394,60 @@ def test_sequence_fingerprints_chunked_boundedness(spark):
         df.repartition(17), "key", ["pos"], "tok", chunk_size=4096
     ).collect()
     assert again.seq_fp == row.seq_fp
+
+
+def test_chunked_fingerprint_renamed_key(spark):
+    """Regression: the chunked fold's row-numbering window must
+    partition by the POST-select alias ("key"), not by key_col — with
+    any key_col other than literally "key" (e.g. the entry point's
+    "conv_key") the old code raised UNRESOLVED_COLUMN.  Dup groups
+    must also match the key_col="key" result exactly."""
+    from cerberus_spark.operators.dedup import (
+        sequence_dup_groups,
+        sequence_fingerprints,
+    )
+
+    rows = [
+        (key, pos, tok)
+        for key, toks in [
+            ("A", ["x", "y", "z"]),
+            ("B", ["x", "y", "z"]),  # dup of A
+            ("C", ["x", "z", "y"]),
+        ]
+        for pos, tok in enumerate(toks)
+    ]
+    df = spark.createDataFrame(rows, "conv_key string, pos int, tok string")
+    fps = {
+        r.key: r.seq_fp
+        for r in sequence_fingerprints(
+            df, "conv_key", ["pos"], "tok", chunk_size=2
+        ).collect()
+    }
+    assert fps["A"] == fps["B"] != fps["C"]
+    got = {
+        (g.n_keys, g.n_items, g.keys)
+        for g in sequence_dup_groups(
+            df, "conv_key", ["pos"], "tok", chunk_size=2
+        ).collect()
+    }
+    assert got == {(2, 3, "A,B")}
+
+
+def test_minhash_band_misconfiguration_raises(spark, docs_df):
+    """bands*rows_per_band beyond the signature length must fail LOUDLY
+    at execution: an out-of-range slice otherwise yields '' band
+    signatures for every doc — one global bucket, the quadratic blowup
+    the caps exist to prevent."""
+    import pytest
+
+    from cerberus_spark.operators.dedup import (
+        minhash_dup_candidates,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs_df, "text", "doc_id", num_hashes=8)
+    with pytest.raises(Exception, match="exceeds signature length"):
+        minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=4).collect()
+    # the well-formed configuration on the same signatures still works
+    ok = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=2)
+    assert ok.count() >= 0
