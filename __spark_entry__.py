@@ -1236,10 +1236,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
-        .select("s_name", "numwait")
+        .select("s_suppkey", "s_name", "numwait")
     )
-    w = Window.orderBy(F.col("numwait").desc(), F.col("s_name").asc())
-    return per.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 20)
+    # rank on (numwait, name, SUPPKEY): per-supplier grouping both
+    # engines (names need not be unique) and a TOTAL rank order, so a
+    # shared s_name can neither merge two suppliers nor leave rk
+    # assignment partition-dependent at the rk<=20 boundary
+    w = Window.orderBy(
+        F.col("numwait").desc(), F.col("s_name").asc(), F.col("s_suppkey").asc()
+    )
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .drop("s_suppkey")
+    )
 
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3876,9 +3886,10 @@ WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'
         "q21_waiting_suppliers": """
 SELECT s_name, numwait, rk FROM (
   SELECT s_name, numwait,
-         row_number() OVER (ORDER BY numwait DESC, s_name ASC) AS rk
+         row_number() OVER (ORDER BY numwait DESC, s_name ASC,
+                            s_suppkey ASC) AS rk
   FROM (
-    SELECT s.s_name, count(*)::BIGINT AS numwait
+    SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS numwait
     FROM (SELECT DISTINCT l_orderkey, l_suppkey
           FROM lineitem WHERE l_returnflag = 'R') l1
     JOIN supplier s ON l1.l_suppkey = s.s_suppkey
@@ -3891,7 +3902,7 @@ SELECT s_name, numwait, rk FROM (
         WHERE l3.l_orderkey = l1.l_orderkey
           AND l3.l_suppkey <> l1.l_suppkey
           AND l3.l_returnflag = 'R')
-    GROUP BY s.s_name
+    GROUP BY s.s_suppkey, s.s_name
   )
 ) WHERE rk <= 20
 """,

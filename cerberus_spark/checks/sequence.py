@@ -244,7 +244,15 @@ def sequence_violations(
             .otherwise(F.lit(0).cast("long"))
         )
         checks += [
-            F.when(prev_idx.isNotNull() & (idx == prev_idx), F.lit("dup_idx")),
+            # null-safe: contiguity_report's per-(conv, idx) grouping
+            # treats NULL as one index value, so duplicate NULL indexes
+            # ARE duplicates here too (idx == prev_idx alone is NULL
+            # when idx is NULL and would silently pass them); _rn > 1
+            # distinguishes "first row of the conv" from "predecessor
+            # had a NULL index"
+            F.when(
+                (F.col("_rn") > 1) & idx.eqNullSafe(prev_idx), F.lit("dup_idx")
+            ),
             # first row of its index only: contiguity_report counts
             # DISTINCT below-start indexes, not rows (its per-idx dedup)
             F.when(
@@ -323,6 +331,19 @@ def conversation_report(
     return assemble_conversation_report(rep, counts)
 
 
+#: the per-conversation violation counters of conversation_report, in
+#: output order — the single source for finalize's fillna/keep/select
+REPORT_COUNT_COLS = [
+    "n_dup_idx",
+    "n_missing",
+    "n_below_start",
+    "n_transition",
+    "n_null_state",
+    "n_ts_regression",
+    "n_first_state",
+]
+
+
 def assemble_conversation_report(rep: DataFrame, counts: DataFrame) -> DataFrame:
     """Final assembly of :func:`conversation_report`: join the
     contiguity report (``n_rows`` already renamed ``n_turns``) with
@@ -332,28 +353,17 @@ def assemble_conversation_report(rep: DataFrame, counts: DataFrame) -> DataFrame
     per-row sequence violations (e.g. the pipeline's audit sink) can
     roll the health gate up from those rows instead of paying the
     window pass twice — same output by construction."""
-    joined = rep.join(counts, "conv", "left").fillna(
-        0,
-        subset=["n_transition", "n_null_state", "n_ts_regression", "n_first_state"],
-    )
-    keep = (
-        (F.col("n_dup_idx") == 0)
-        & (F.col("n_missing") == 0)
-        & (F.col("n_below_start") == 0)
-        & (F.col("n_transition") == 0)
-        & (F.col("n_null_state") == 0)
-        & (F.col("n_ts_regression") == 0)
-        & (F.col("n_first_state") == 0)
-    )
-    return joined.select(
-        "conv",
-        "n_turns",
-        "n_dup_idx",
-        "n_missing",
-        "n_below_start",
-        "n_transition",
-        "n_null_state",
-        "n_ts_regression",
-        "n_first_state",
-        keep.alias("keep"),
-    )
+    return finalize_conversation_report(rep.join(counts, "conv", "left"))
+
+
+def finalize_conversation_report(joined: DataFrame) -> DataFrame:
+    """Shared tail of the health gate: null-fill every violation
+    counter (a conversation absent from a counts side has zero
+    violations), derive the composite ``keep``, and fix the column
+    order.  ``joined`` must carry ``conv``, ``n_turns`` and the
+    :data:`REPORT_COUNT_COLS` (possibly NULL)."""
+    joined = joined.fillna(0, subset=REPORT_COUNT_COLS)
+    keep = F.lit(True)
+    for c in REPORT_COUNT_COLS:
+        keep = keep & (F.col(c) == 0)
+    return joined.select("conv", "n_turns", *REPORT_COUNT_COLS, keep.alias("keep"))

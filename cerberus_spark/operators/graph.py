@@ -32,6 +32,8 @@ algorithms (GraphX/GraphFrames do the same internally).  Two modes:
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -61,11 +63,15 @@ def connected_components(
 
     ``checkpoint_dir``: when set, per-round lineage truncation uses
     reliable ``checkpoint()`` (survives executor loss — the
-    cluster-scale mode) instead of ``localCheckpoint()``.  Each
-    checkpoint lands in its own subdirectory of ``checkpoint_dir`` and
-    superseded rounds are DELETED as soon as the next round is
-    materialized, so durable storage holds at most two |nodes|-sized
-    label tables at any time instead of one per round.  The files of
+    cluster-scale mode) instead of ``localCheckpoint()``.  Every
+    INVOCATION gets its own ``cc-<12hex>/`` namespace under
+    ``checkpoint_dir`` (so repeated or concurrent calls can share one
+    directory — the reclaim below can never delete the files backing a
+    PREVIOUS call's still-live result), and each checkpoint lands in
+    its own subdirectory of that namespace; superseded rounds are
+    DELETED as soon as the next round is materialized, so durable
+    storage holds at most two |nodes|-sized label tables per live call
+    instead of one per round.  The files of
     the FINAL round back the returned DataFrame and are left for the
     caller to drop with the directory.  Side effect: this calls
     ``SparkContext.setCheckpointDir`` (global, context-wide state) and
@@ -89,13 +95,25 @@ def connected_components(
     """
     spark = edges.sparkSession
     label_dirs: list[str] = []
+    # per-invocation namespace: the reclaim logic below deletes
+    # directories, so two calls sharing one checkpoint_dir must never
+    # share tag paths (a second call would otherwise delete the final
+    # checkpoint still backing the first call's returned DataFrame)
+    ns = (
+        None
+        if checkpoint_dir is None
+        else f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex[:12]}"
+    )
 
-    def _ckpt(df: DataFrame, tag: str) -> DataFrame:
-        if checkpoint_dir is None:
-            return df.localCheckpoint()
-        sub = f"{checkpoint_dir.rstrip('/')}/{tag}"
+    def _ckpt(df: DataFrame, tag: str) -> tuple[DataFrame, str | None]:
+        """The ONLY place the checkpoint path scheme lives: returns the
+        checkpointed frame plus the directory that backs it (None in
+        localCheckpoint mode) for the caller's reclaim bookkeeping."""
+        if ns is None:
+            return df.localCheckpoint(), None
+        sub = f"{ns}/{tag}"
         spark.sparkContext.setCheckpointDir(sub)
-        return df.checkpoint()  # eager: files are complete on return
+        return df.checkpoint(), sub  # eager: files are complete on return
 
     def _drop_stale_labels() -> None:
         # keep only the newest label checkpoint (the current `labels`);
@@ -106,23 +124,23 @@ def connected_components(
     # checkpoint the symmetric edge list FIRST so the (possibly very
     # expensive) upstream candidate-pair pipeline materializes exactly
     # once; labels then derive from the checkpointed edges
-    edges_dir = None if checkpoint_dir is None else f"{checkpoint_dir.rstrip('/')}/edges"
-    sym = _ckpt(
+    sym, edges_dir = _ckpt(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))),
         "edges",
     )
     if driver_threshold is not None and sym.count() <= 2 * driver_threshold:
         out = _driver_components(sym, edges, src)
-        if edges_dir is not None:
-            _hadoop_rm(spark, edges_dir)  # result is driver-local
+        if ns is not None:
+            _hadoop_rm(spark, ns)  # result is driver-local: drop the
+            # whole per-call namespace, not just the edges copy
         return out
-    labels = _ckpt(
+    labels, d = _ckpt(
         sym.select(F.col("a").alias("id")).distinct().withColumn("lbl", F.col("id")),
         "labels_init",
     )
-    if checkpoint_dir is not None:
-        label_dirs.append(f"{checkpoint_dir.rstrip('/')}/labels_init")
+    if d is not None:
+        label_dirs.append(d)
     for i in range(max_iters):
         nb = sym.join(
             labels.select(F.col("id").alias("b"), F.col("lbl")), "b"
@@ -144,9 +162,9 @@ def connected_components(
             )
             .select("id", F.least("lbl", "lbl2").alias("lbl"))
         )
-        new_labels = _ckpt(new_labels, f"labels_r{i}")
-        if checkpoint_dir is not None:
-            label_dirs.append(f"{checkpoint_dir.rstrip('/')}/labels_r{i}")
+        new_labels, d = _ckpt(new_labels, f"labels_r{i}")
+        if d is not None:
+            label_dirs.append(d)
         changed = (
             new_labels.join(
                 labels.select("id", F.col("lbl").alias("old")), "id"
@@ -269,11 +287,19 @@ def cluster_representatives(
         attrs.select(F.col(id_col).alias("id"), F.col(quality_col).alias("q")),
         "id",
     )
+    # struct order (q IS NULL, -quality, id): min -> non-null first
+    # (a NULL quality would otherwise sort BEFORE every real value in
+    # Spark's struct comparison and always win), then highest quality,
+    # then smallest id; only the (numeric) quality is negated, the id
+    # compares natively so non-numeric / negative ids stay correct.
+    # rep_quality = max(q) is the winner's quality by construction
+    # (the rep has the cluster's max quality; all-NULL clusters get
+    # NULL both places).
+    sort_key = F.struct(
+        q.isNull().cast("int"), (-F.coalesce(q, F.lit(0))), F.col("id")
+    )
     return joined.groupBy("cluster_id").agg(
-        # struct order (-quality, id): min -> highest quality, then
-        # smallest id; only the (numeric) quality is negated, the id
-        # compares natively so non-numeric / negative ids stay correct
-        F.min_by("id", F.struct((-q), F.col("id"))).alias("rep_id"),
+        F.min_by("id", sort_key).alias("rep_id"),
         F.count(F.lit(1)).alias("csize"),
         F.max(q).alias("rep_quality"),
     )

@@ -67,6 +67,17 @@ TEXT_LEN_EDGES = [0.0, 20.0, 50.0, 100.0, 150.0, 200.0, 300.0, 1e9]
 
 KEY_COLS = ["conv_id", "turn_idx"]
 
+#: within-conversation sort for the sequence window: turn_idx first
+#: (the density rules require it non-decreasing), then ts/role/text as
+#: tiebreaks.  turn_idx alone is NOT a total order on exactly the
+#: dirty input this validator exists for (duplicate indexes), and
+#: lag(role)/lag(ts) among the duplicates would then be partition- and
+#: run-dependent — the sink rows and health counts must be invariant
+#: under partition layout (pytest-locked repo contract).  Rows equal
+#: in all four columns are interchangeable for every lag-derived rule,
+#: so the emitted violations stay deterministic regardless.
+TRANSCRIPT_ORDER = ["turn_idx", "ts", "role", "text"]
+
 #: north-rule role-transition grammar for multi-turn agent transcripts
 TRANSCRIPT_TRANSITIONS: set[tuple[str, str]] = {
     ("system", "user"),
@@ -96,7 +107,7 @@ def sequence_violation_rows(df: DataFrame) -> DataFrame:
         "conv_id",
         "role",
         "ts",
-        ["turn_idx"],
+        TRANSCRIPT_ORDER,
         TRANSCRIPT_TRANSITIONS,
         TRANSCRIPT_FIRST_ROLES,
         idx_col="turn_idx",
@@ -127,7 +138,7 @@ def conversation_health(df: DataFrame) -> DataFrame:
         "turn_idx",
         "role",
         "ts",
-        ["turn_idx"],
+        TRANSCRIPT_ORDER,
         TRANSCRIPT_TRANSITIONS,
         TRANSCRIPT_FIRST_ROLES,
     )
@@ -137,54 +148,48 @@ def conversation_health_from_violations(df: DataFrame, viol: DataFrame) -> DataF
     """:func:`conversation_health` rolled up from an already-
     materialized violations sink instead of a second window pass: the
     per-conv sequence AND density counts come from the sink's ``seq_*``
-    rows (one tiny groupBy over violation rows — the density rules rode
-    the sink's window pass via ``idx_col``); the only corpus re-read is
-    a plain per-conv row count (map-side partial agg, no window sort).
+    rows (ONE groupBy over violation rows — the density rules rode the
+    sink's window pass via ``idx_col`` — consumed by exactly one join,
+    so the sink is scanned once); the only corpus re-read is a plain
+    per-conv row count (map-side partial agg, no window sort).
     Output equal to :func:`conversation_health` by construction
     (shared assembly; equality pytest-locked)."""
-    from cerberus_spark.checks.sequence import assemble_conversation_report
+    from cerberus_spark.checks.sequence import finalize_conversation_report
 
-    seq_rows = viol.filter(F.col("rule").startswith("seq_")).groupBy(
-        F.col("conv_id").alias("conv")
-    )
-    density = seq_rows.agg(
-        F.sum(F.when(F.col("rule") == "seq_dup_idx", 1).otherwise(0))
-        .cast("long")
-        .alias("n_dup_idx"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("rule") == "seq_idx_gap", F.col("value").cast("long")
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("long")
-        .alias("n_missing"),
-        F.sum(F.when(F.col("rule") == "seq_below_start", 1).otherwise(0))
-        .cast("long")
-        .alias("n_below_start"),
-        *[
-            F.sum(F.when(F.col("rule") == f"seq_{r}", 1).otherwise(0))
+    density = (
+        viol.filter(F.col("rule").startswith("seq_"))
+        .groupBy(F.col("conv_id").alias("conv"))
+        .agg(
+            F.sum(F.when(F.col("rule") == "seq_dup_idx", 1).otherwise(0))
             .cast("long")
-            .alias(f"n_{r}")
-            for r in ("transition", "null_state", "ts_regression", "first_state")
-        ],
+            .alias("n_dup_idx"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rule") == "seq_idx_gap", F.col("value").cast("long")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_missing"),
+            F.sum(F.when(F.col("rule") == "seq_below_start", 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_start"),
+            *[
+                F.sum(F.when(F.col("rule") == f"seq_{r}", 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{r}")
+                for r in ("transition", "null_state", "ts_regression", "first_state")
+            ],
+        )
     )
-    rep = (
+    joined = (
         df.groupBy(F.col("conv_id").alias("conv"))
         .agg(F.count(F.lit(1)).alias("n_turns"))
-        .join(
-            density.select("conv", "n_dup_idx", "n_missing", "n_below_start"),
-            "conv",
-            "left",
-        )
-        .fillna(0, subset=["n_dup_idx", "n_missing", "n_below_start"])
+        .join(density, "conv", "left")
     )
-    counts = density.select(
-        "conv", "n_transition", "n_null_state", "n_ts_regression", "n_first_state"
-    )
-    return assemble_conversation_report(rep, counts)
+    return finalize_conversation_report(joined)
 
 
 def materialize(df: DataFrame) -> None:

@@ -151,6 +151,28 @@ def test_cluster_representatives_string_ids(spark):
     assert rows == {"docA": ("docB", 3, 9)}
 
 
+def test_cluster_representatives_null_quality(spark):
+    """A NULL-quality member must never win representative selection
+    (a NULL inside the sort struct would otherwise order BEFORE every
+    real quality and always be picked, while rep_quality = max(q)
+    described a different doc); an all-NULL cluster falls back to the
+    smallest id with rep_quality NULL."""
+    from cerberus_spark.operators.graph import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (21, 20), (20, 20)], "id long, cluster_id long"
+    )
+    attrs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, None), (20, None), (21, None)],
+        "doc_id long, n_chars long",
+    )
+    rows = {
+        r.cluster_id: (r.rep_id, r.csize, r.rep_quality)
+        for r in cluster_representatives(clusters, attrs, "doc_id", "n_chars").collect()
+    }
+    assert rows == {1: (2, 3, 9), 20: (20, 2, None)}
+
+
 def test_reliable_checkpoint_rounds_are_reclaimed(spark, tmp_path):
     """checkpoint_dir mode must delete superseded per-round label
     checkpoints as the iteration advances: at exit only the FINAL
@@ -171,8 +193,37 @@ def test_reliable_checkpoint_rounds_are_reclaimed(spark, tmp_path):
     )
     got = {r.id: r.cluster_id for r in cc.collect()}
     assert got == {i: 0 for i in range(9)}
-    remaining = sorted(e.name for e in os.scandir(ckdir))
+    # layout: one per-invocation cc-* namespace, holding ONLY the
+    # final round's label checkpoint
+    ns = [e.name for e in os.scandir(ckdir)]
+    assert len(ns) == 1 and ns[0].startswith("cc-"), ns
+    remaining = sorted(e.name for e in os.scandir(ckdir / ns[0]))
     assert len(remaining) == 1 and remaining[0].startswith("labels_r"), remaining
+
+
+def test_checkpoint_dir_reuse_is_safe(spark, tmp_path):
+    """Two calls sharing one checkpoint_dir must not interfere: the
+    second call's per-round reclaim previously deleted the fixed-name
+    subdirectories still backing the first call's returned DataFrame
+    (collect after the second run died with FileNotFoundException).
+    Per-invocation cc-* namespaces make reuse safe."""
+    from cerberus_spark.operators.graph import connected_components
+
+    ckdir = str(tmp_path / "cc_shared")
+    cc1 = connected_components(
+        spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long"),
+        checkpoint_dir=ckdir,
+        driver_threshold=None,
+    )
+    assert {r.id: r.cluster_id for r in cc1.collect()} == {i: 0 for i in range(9)}
+    cc2 = connected_components(
+        spark.createDataFrame([(10, 11), (11, 12)], "id_a long, id_b long"),
+        checkpoint_dir=ckdir,
+        driver_threshold=None,
+    )
+    assert {r.id: r.cluster_id for r in cc2.collect()} == {10: 10, 11: 10, 12: 10}
+    # cc1 must still be collectable AFTER cc2 ran its reclaim
+    assert {r.id: r.cluster_id for r in cc1.collect()} == {i: 0 for i in range(9)}
 
 
 def test_driver_fast_path_checkpoint_cleanup(spark, tmp_path):

@@ -273,3 +273,73 @@ def test_conversation_health_from_sink_equals_direct(spark, transcripts, tmp_pat
         r.conv: tuple(r) for r in pipeline.conversation_health(transcripts).collect()
     }
     assert rolled == direct and len(direct) > 0
+
+
+def _dirty_transcripts(spark):
+    """Exactly the input the sequence validator exists for, which the
+    generator never emits: duplicate turn_idx (so turn_idx alone is not
+    a total order), NULL turn_idx (including two in one conversation),
+    and a fully-identical row pair (interchangeable under any order)."""
+    ts = __import__("datetime").datetime
+    rows = [
+        # c-dup: duplicate idx 1 with DIFFERENT ts/role — lag()-derived
+        # rules must not depend on partition layout among the dups
+        ("c-dup", 0, "system", "sys", None, ts(2026, 1, 1, 0, 0, 0)),
+        ("c-dup", 1, "user", "hi", None, ts(2026, 1, 1, 0, 0, 1)),
+        ("c-dup", 1, "assistant", "yo", None, ts(2026, 1, 1, 0, 0, 2)),
+        ("c-dup", 2, "assistant", "ok", None, ts(2026, 1, 1, 0, 0, 3)),
+        # c-null: two NULL indexes — the second IS a duplicate index
+        # (eqNullSafe), the first is just the head of the conversation
+        ("c-null", None, "user", "a", None, ts(2026, 1, 1, 1, 0, 0)),
+        ("c-null", None, "assistant", "b", None, ts(2026, 1, 1, 1, 0, 1)),
+        ("c-null", 0, "system", "c", None, ts(2026, 1, 1, 1, 0, 2)),
+        # c-tie: fully identical pair — interchangeable for every rule
+        ("c-tie", 0, "system", "s", None, ts(2026, 1, 2, 0, 0, 0)),
+        ("c-tie", 1, "user", "same", None, ts(2026, 1, 2, 0, 0, 1)),
+        ("c-tie", 1, "user", "same", None, ts(2026, 1, 2, 0, 0, 1)),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_sequence_rows_dirty_input_partition_invariant(spark):
+    """On duplicate/NULL-index input the emitted violation rows (and
+    hence the sink) must be invariant under partition layout: the
+    within-conversation window orders by the full TRANSCRIPT_ORDER
+    tiebreak, not turn_idx alone."""
+    from cerberus_spark import pipeline
+
+    dirty = _dirty_transcripts(spark)
+    layouts = [
+        dirty.coalesce(1),
+        dirty.repartition(7),
+        dirty.repartition(5, "text"),
+    ]
+    outs = [  # key=repr: NULL turn_idx is not <-comparable with ints
+        sorted(map(tuple, pipeline.sequence_violation_rows(d).collect()), key=repr)
+        for d in layouts
+    ]
+    assert outs[0] == outs[1] == outs[2]
+
+    health = {
+        r.conv: r
+        for r in pipeline.conversation_health(dirty).collect()
+    }
+    # duplicate-index accounting incl. the NULL pair: c-dup's idx-1 pair
+    # and c-tie's identical pair are one dup row each; c-null's second
+    # NULL index is a duplicate (eqNullSafe) but its FIRST row is not
+    assert health["c-dup"].n_dup_idx == 1
+    assert health["c-tie"].n_dup_idx == 1
+    assert health["c-null"].n_dup_idx == 1
+    assert not health["c-null"].keep
+    # and the sink rollup reproduces the direct gate on dirty input too
+    rolled = {
+        r.conv: tuple(r)
+        for r in pipeline.conversation_health_from_violations(
+            dirty, pipeline.sequence_violation_rows(dirty)
+        ).collect()
+    }
+    assert rolled == {c: tuple(r) for c, r in health.items()}
