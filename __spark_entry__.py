@@ -1921,6 +1921,25 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score: per-doc average NLL of
+    p(c|p) = 0.5*cnt(p c)/cnt(p) + 0.5*p_uni(c), vocab capped at the
+    top 20 words / 50 bigrams so every fallback path (capped bigram
+    table, capped context, OOV floor) carries data
+    (functions/text.py:bigram_logprob_scores)."""
+    from cerberus_spark.functions.text import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bigram_logprob_scores(
+        docs, "text", "doc_id", vocab_size=20, bigram_size=50
+    )
+    return out.select(
+        "doc_id",
+        F.round(F.col("bigram_nll"), 6).alias("bigram_nll"),
+        "n_bigrams",
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-moment embedding drift: centroid cosine + L2 between the
     even- and odd-vec_id halves of the embeddings table — one
@@ -2526,6 +2545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_violations": q_sequence_violations,
         "conversation_gate": q_conversation_gate,
         # (b) never-gated:
+        "bigram_nll": q_bigram_nll,
         "q2_min_price_part": q2_min_price_part,
         "q13_customer_distribution": q13_customer_distribution,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
@@ -3528,6 +3548,37 @@ s AS (
   FROM nz LEFT JOIN v USING (w) CROSS JOIN t
 )
 SELECT doc_id, round(-avg(logp), 6) AS unigram_nll, count(*)::BIGINT AS n_tokens
+FROM s GROUP BY 1
+""",
+        "bigram_nll": f"""
+WITH ww AS (
+  SELECT doc_id, list_filter({_WORDS}, x -> x <> '') AS arr FROM documents
+),
+bp AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(arr)), i -> arr[i])) AS p,
+         unnest(list_transform(range(1, len(arr)), i -> arr[i + 1])) AS c
+  FROM ww WHERE len(arr) >= 2
+),
+wz AS (SELECT doc_id, unnest(arr) AS w FROM ww),
+uni AS (SELECT w, count(*)::BIGINT AS ucnt FROM wz GROUP BY 1),
+t AS (SELECT sum(ucnt) AS total FROM uni),
+v AS (SELECT w, ucnt FROM uni ORDER BY ucnt DESC, w ASC LIMIT 20),
+b AS (SELECT p, c, count(*)::BIGINT AS bcnt FROM bp GROUP BY 1, 2),
+bv AS (SELECT p, c, bcnt FROM b ORDER BY bcnt DESC, p ASC, c ASC LIMIT 50),
+s AS (
+  SELECT bp.doc_id,
+         ln(0.5 * (CASE WHEN bv.bcnt IS NOT NULL AND vp.ucnt IS NOT NULL
+                        THEN bv.bcnt / CAST(vp.ucnt AS DOUBLE) ELSE 0.0 END)
+            + 0.5 * (CASE WHEN vc.ucnt IS NOT NULL THEN vc.ucnt / t.total
+                          ELSE 1.0 / t.total END)) AS logp
+  FROM bp
+  LEFT JOIN bv ON bp.p = bv.p AND bp.c = bv.c
+  LEFT JOIN v vp ON bp.p = vp.w
+  LEFT JOIN v vc ON bp.c = vc.w
+  CROSS JOIN t
+)
+SELECT doc_id, round(-avg(logp), 6) AS bigram_nll, count(*)::BIGINT AS n_bigrams
 FROM s GROUP BY 1
 """,
         "boilerplate_words": """

@@ -388,6 +388,89 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab_size: int | None = None,
+    bigram_size: int | None = None,
+    lam: float = 0.5,
+):
+    """(id, bigram_nll, n_bigrams): per-document average negative log
+    likelihood under an interpolated bigram LM fit on the corpus
+    itself — the context-aware upgrade of :func:`unigram_logprob_scores`
+    (CCNet-style fluency filtering; a unigram model scores shuffled
+    word salad identically to prose, a bigram model does not).
+
+    Model: ``p(c|p) = lam * cnt(p c)/cnt(p) + (1-lam) * p_uni(c)`` with
+    ``p_uni(c) = cnt(c)/total`` and OOV floor ``1/total`` — standard
+    fixed-weight interpolation, so the score is defined for every pair
+    (the unigram term never vanishes).  The bigram term drops to 0 when
+    the pair or its context falls outside the (optionally capped)
+    frequency tables.  Documents with fewer than two tokens emit no
+    bigrams and are absent from the output, mirroring how empty docs
+    are absent from the unigram scorer.
+
+    Scale shape: two count passes (ONE map-side-partial shuffle each,
+    reduce side |vocab| / |bigram vocab|), then the corpus re-explodes
+    pairs map-side (``zip_with`` over the token array — adjacent pairs
+    never require a positional self-join) and BROADCAST left-joins the
+    capped tables; the per-doc mean partial-aggregates map-side.  At
+    web scale ``vocab_size``/``bigram_size`` bound both broadcasts; the
+    caps are deterministic top-N (count desc, key asc).
+    """
+    from cerberus_spark.operators.dedup import normalize_text
+
+    words_expr = F.filter(
+        F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
+    )
+    toks = df.select(F.col(id_col), words_expr.alias("_arr"))
+    # adjacent pairs, map-side: zip arr[0:n-1] with arr[1:n]
+    n = F.size(F.col("_arr"))
+    pairs_expr = F.zip_with(
+        F.slice(F.col("_arr"), 1, n - 1),
+        F.slice(F.col("_arr"), 2, n - 1),
+        lambda a, b: F.struct(a.alias("_p"), b.alias("_c")),
+    )
+    pairs = (
+        toks.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs_expr).alias("_pc"))
+        .select(F.col(id_col), F.col("_pc._p").alias("_p"), F.col("_pc._c").alias("_c"))
+    )
+
+    words = toks.select(F.col(id_col), F.explode(F.col("_arr")).alias("_w"))
+    uni = words.groupBy("_w").agg(F.count(F.lit(1)).alias("_ucnt"))
+    total_row = uni.agg(F.sum("_ucnt").alias("_total"))
+    if vocab_size is not None:
+        uni = uni.orderBy(F.col("_ucnt").desc(), F.col("_w").asc()).limit(vocab_size)
+    bi = pairs.groupBy("_p", "_c").agg(F.count(F.lit(1)).alias("_bcnt"))
+    if bigram_size is not None:
+        bi = bi.orderBy(
+            F.col("_bcnt").desc(), F.col("_p").asc(), F.col("_c").asc()
+        ).limit(bigram_size)
+
+    prev_cnt = uni.select(F.col("_w").alias("_p"), F.col("_ucnt").alias("_pcnt"))
+    cur_cnt = uni.select(F.col("_w").alias("_c"), F.col("_ucnt").alias("_ccnt"))
+    scored = (
+        pairs.join(F.broadcast(bi), on=["_p", "_c"], how="left")
+        .join(F.broadcast(prev_cnt), on="_p", how="left")
+        .join(F.broadcast(cur_cnt), on="_c", how="left")
+        .crossJoin(F.broadcast(total_row))
+    )
+    p_bi = F.when(
+        F.col("_bcnt").isNotNull() & F.col("_pcnt").isNotNull(),
+        F.col("_bcnt") / F.col("_pcnt"),
+    ).otherwise(F.lit(0.0))
+    p_uni = F.when(
+        F.col("_ccnt").isNotNull(), F.col("_ccnt") / F.col("_total")
+    ).otherwise(F.lit(1.0) / F.col("_total"))
+    logp = F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni)
+    return scored.groupBy(id_col).agg(
+        (-F.avg(logp)).alias("bigram_nll"),
+        F.count(F.lit(1)).alias("n_bigrams"),
+    )
+
+
 def normalize_unicode(col, form: str = "NFC", strip_controls: bool = True):
     """Unicode-normalize a text column (Arrow pandas_udf —
     ``unicodedata.normalize`` has no Catalyst equivalent) and

@@ -180,6 +180,92 @@ def test_unigram_scoring_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
+def test_bigram_logprob_matches_python(spark):
+    """Spark interpolated-bigram NLL == a hand-rolled python twin,
+    including capped-table fallbacks, and context-awareness: scrambled
+    word order raises the bigram score while the unigram score is
+    order-blind."""
+    import math
+
+    from cerberus_spark.functions.text import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
+
+    rows = [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "the cat sat on the mat"),
+        ("d3", "mat the on sat cat the"),  # same bag of words, scrambled
+        ("d4", "solo"),                    # <2 tokens -> no output row
+        ("d5", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    texts = [t for _, t in rows if t]
+    words = [w for t in texts for w in t.split()]
+    total = len(words)
+    ucnt: dict = {}
+    bcnt: dict = {}
+    for t in texts:
+        ws = t.split()
+        for w in ws:
+            ucnt[w] = ucnt.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            bcnt[(a, b)] = bcnt.get((a, b), 0) + 1
+
+    def nll(text, uni, bi, lam=0.5):
+        ws = text.split()
+        lps = []
+        for a, b in zip(ws, ws[1:]):
+            p_bi = bi[(a, b)] / uni[a] if (a, b) in bi and a in uni else 0.0
+            p_uni = uni[b] / total if b in uni else 1.0 / total
+            lps.append(math.log(lam * p_bi + (1 - lam) * p_uni))
+        return -sum(lps) / len(lps)
+
+    got = {
+        r.doc_id: (r.bigram_nll, r.n_bigrams)
+        for r in bigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    assert set(got) == {"d1", "d2", "d3"}  # d4/d5 emit no bigrams
+    for d, t in rows[:3]:
+        assert abs(got[d][0] - nll(t, ucnt, bcnt)) < 1e-12
+        assert got[d][1] == len(t.split()) - 1
+
+    # context-awareness: scrambled doc scores strictly worse on bigrams...
+    assert got["d3"][0] > got["d1"][0]
+    # ...while the unigram model cannot tell them apart
+    ug = {
+        r.doc_id: r.unigram_nll
+        for r in unigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    assert abs(ug["d3"] - ug["d1"]) < 1e-12
+
+    # capped tables: top-2 unigrams {the(6), cat(3)... tie} — verify via twin
+    top2 = dict(sorted(ucnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2])
+    top3b = dict(sorted(bcnt.items(), key=lambda kv: (-kv[1], kv[0]))[:3])
+    got2 = {
+        r.doc_id: r.bigram_nll
+        for r in bigram_logprob_scores(
+            df, "text", "doc_id", vocab_size=2, bigram_size=3
+        ).collect()
+    }
+    for d, t in rows[:3]:
+        assert abs(got2[d] - nll(t, top2, top3b)) < 1e-12
+
+
+def test_bigram_scoring_joins_are_broadcast(spark):
+    from cerberus_spark.functions.text import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [("d1", "a b c"), ("d2", "a c b")], "doc_id string, text string"
+    )
+    plan = (
+        bigram_logprob_scores(df, "text", "doc_id", vocab_size=10, bigram_size=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
 # ---------------------------------------------------------------------------
 # unicode normalization
 # ---------------------------------------------------------------------------
