@@ -1940,6 +1940,26 @@ def q_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split: per-LANGUAGE type-1 quantile
+    thresholds over the unigram-LM NLL score, ties-to-earlier-bucket,
+    pure integer threshold arithmetic — no ntile over a data-sized
+    window (operators/sample.py:quantile_buckets)."""
+    from cerberus_spark.functions.text import unigram_logprob_scores
+    from cerberus_spark.operators.sample import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = unigram_logprob_scores(docs, "text", "doc_id", vocab_size=20)
+    scored = scores.join(docs.select("doc_id", "lang"), on="doc_id", how="inner")
+    out = quantile_buckets(scored, "unigram_nll", group_col="lang")
+    return out.select(
+        "doc_id",
+        "lang",
+        F.round(F.col("unigram_nll"), 6).alias("unigram_nll"),
+        "bucket",
+    )
+
+
 def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-moment embedding drift: centroid cosine + L2 between the
     even- and odd-vec_id halves of the embeddings table — one
@@ -2546,6 +2566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversation_gate": q_conversation_gate,
         # (b) never-gated:
         "bigram_nll": q_bigram_nll,
+        "perplexity_buckets": q_perplexity_buckets,
         "q2_min_price_part": q2_min_price_part,
         "q13_customer_distribution": q13_customer_distribution,
         "q16_parts_supplier_counts": q16_parts_supplier_counts,
@@ -3580,6 +3601,40 @@ s AS (
 )
 SELECT doc_id, round(-avg(logp), 6) AS bigram_nll, count(*)::BIGINT AS n_bigrams
 FROM s GROUP BY 1
+""",
+        "perplexity_buckets": f"""
+WITH ww AS (
+  SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+), nz AS (SELECT * FROM ww WHERE w <> ''),
+c AS (SELECT w, count(*)::BIGINT AS cnt FROM nz GROUP BY 1),
+t AS (SELECT sum(cnt) AS total FROM c),
+v AS (SELECT w, cnt FROM c ORDER BY cnt DESC, w ASC LIMIT 20),
+s AS (
+  SELECT nz.doc_id,
+         CASE WHEN v.w IS NOT NULL THEN ln(v.cnt / t.total)
+              ELSE ln(1.0 / t.total) END AS logp
+  FROM nz LEFT JOIN v USING (w) CROSS JOIN t
+),
+sc AS (SELECT doc_id, round(-avg(logp), 6) AS nll FROM s GROUP BY 1),
+sl AS (SELECT sc.doc_id, d.lang, sc.nll FROM sc JOIN documents d USING (doc_id)),
+hist AS (SELECT lang, nll AS sv, count(*)::BIGINT AS cnt FROM sl GROUP BY 1, 2),
+cum AS (
+  SELECT lang, sv,
+         sum(cnt) OVER (PARTITION BY lang ORDER BY sv) AS cum,
+         sum(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+thr AS (
+  SELECT lang,
+         min(CASE WHEN cum >= (n * 333 + 999) // 1000 THEN sv END) AS t0,
+         min(CASE WHEN cum >= (n * 667 + 999) // 1000 THEN sv END) AS t1
+  FROM cum GROUP BY 1
+)
+SELECT sl.doc_id, sl.lang, sl.nll AS unigram_nll,
+       CASE WHEN sl.nll <= thr.t0 THEN 'head'
+            WHEN sl.nll <= thr.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN thr USING (lang)
 """,
         "boilerplate_words": """
 WITH u AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),

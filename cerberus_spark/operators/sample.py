@@ -208,3 +208,90 @@ def cap_per_group(
         df.withColumn("group_rank", F.row_number().over(w))
         .filter(F.col("group_rank") <= F.lit(int(cap)))
     )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    cuts_permille: tuple[int, ...] = (333, 667),
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    decimals: int = 6,
+) -> DataFrame:
+    """Assign each row a quantile bucket of ``score_col`` within its
+    group — the CCNet head/middle/tail perplexity split (docs are
+    bucketed by LM score *within each language*, and downstream recipes
+    keep/downsample buckets independently).  Lower score = earlier
+    bucket, so with an NLL score ``head`` is the most-fluent slice.
+
+    Deterministic and engine-portable by construction: scores are
+    ROUNDED to ``decimals`` first, each threshold is the smallest
+    rounded score whose cumulative count reaches ``ceil(n *
+    cut/1000)`` (type-1 / lower quantile — pure INTEGER arithmetic,
+    no interpolation, so engines cannot diverge on boundary
+    membership), and ties at a threshold all land in the earlier
+    bucket (documented: bucket sizes are only approximately n/k under
+    heavy ties).
+
+    Scale shape: NO data-sized window (an ``ntile`` over
+    ``partitionBy(lang)`` would sort each language's 10^11 rows in ONE
+    task — the skew killer this avoids).  The histogram groupBy
+    reduces to |distinct rounded scores| rows; the cumulative window
+    runs over that reduced frame; thresholds reduce to |groups| rows
+    and broadcast back onto the scan.  Output adds ``bucket``.
+    """
+    from pyspark.sql import Window as W
+
+    if len(labels) != len(cuts_permille) + 1:
+        raise ValueError("need exactly len(cuts_permille)+1 labels")
+    if list(cuts_permille) != sorted(set(cuts_permille)) or not all(
+        0 < c < 1000 for c in cuts_permille
+    ):
+        raise ValueError("cuts_permille must be strictly increasing in (0, 1000)")
+
+    s = F.round(F.col(score_col), decimals)
+    grp = [group_col] if group_col else []
+    gcols = [F.col(c) for c in grp]
+
+    hist = (
+        df.select(*gcols, s.alias("_s"))
+        .filter(F.col("_s").isNotNull())  # NULL scores get no bucket and
+        # must not count toward n (engines also order NULLs differently)
+        .groupBy(*grp, "_s")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    cum_w = (
+        W.partitionBy(*grp).orderBy(F.col("_s").asc())
+        if grp
+        else W.partitionBy().orderBy(F.col("_s").asc())
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(cum_w)).withColumn(
+        "_n", F.sum("_cnt").over(W.partitionBy(*grp) if grp else W.partitionBy())
+    )
+    # threshold q = min rounded score with cum >= ceil(n*q/1000); the
+    # ceiling is exact integer arithmetic: (n*q + 999) DIV 1000
+    thr_aggs = [
+        F.min(
+            F.when(
+                F.col("_cum")
+                >= F.expr(f"(_n * {int(q)} + 999) DIV 1000"),
+                F.col("_s"),
+            )
+        ).alias(f"_t{i}")
+        for i, q in enumerate(cuts_permille)
+    ]
+    thresholds = cum.groupBy(*grp).agg(*thr_aggs)
+
+    joined = (
+        df.join(F.broadcast(thresholds), on=grp, how="left")
+        if grp
+        else df.crossJoin(F.broadcast(thresholds))
+    )
+    bucket = F.when(s <= F.col("_t0"), F.lit(labels[0]))
+    for i in range(1, len(cuts_permille)):
+        bucket = bucket.when(s <= F.col(f"_t{i}"), F.lit(labels[i]))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    # NULL scores: no bucket (rounded NULL never reaches a threshold)
+    bucket = F.when(s.isNull(), F.lit(None).cast("string")).otherwise(bucket)
+    drop = [f"_t{i}" for i in range(len(cuts_permille))]
+    return joined.withColumn("bucket", bucket).drop(*drop)

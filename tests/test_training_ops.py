@@ -535,3 +535,104 @@ def test_winsorize_grouped_and_nulls(spark):
     got = [(r.g, r.v, r.v_w) for r in out.collect()]
     assert all(vw == v for _, v, vw in got if v is not None)
     assert any(v is None and vw is None for _, v, vw in got)
+
+
+# ---------------------------------------------------------------------------
+# quantile_buckets (CCNet-style head/middle/tail)
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_buckets_matches_python_twin(spark):
+    """Type-1 per-group quantile bucketing == a hand-rolled twin,
+    including ties at the threshold (all land in the earlier bucket)
+    and NULL scores (no bucket, excluded from n)."""
+    import math
+
+    rows = [
+        # lang en: scores 1..9 -> thresholds at ceil(9/3)=3rd (3.0) and
+        # ceil(9*2/3)=6th (6.0)
+        *[("en", f"e{i}", float(i)) for i in range(1, 10)],
+        # lang fr: heavy tie at 5.0 (4 of 5 rows) -> head swallows ties
+        ("fr", "f1", 1.0),
+        *[("fr", f"f{i}", 5.0) for i in range(2, 6)],
+        # lang de: single row -> everything is head
+        ("de", "d1", 42.0),
+        ("en", "enull", None),
+    ]
+    df = spark.createDataFrame(rows, "lang string, doc_id string, score double")
+
+    from cerberus_spark.operators.sample import quantile_buckets
+
+    got = {
+        r.doc_id: r.bucket
+        for r in quantile_buckets(df, "score", group_col="lang").collect()
+    }
+
+    def twin(scores, cuts=(333, 667)):
+        ss = sorted(round(s, 6) for s in scores if s is not None)
+        n = len(ss)
+        thr = []
+        for q in cuts:
+            need = (n * q + 999) // 1000
+            cum = 0
+            for s in ss:
+                cum += 1  # distinct handled by <= comparison below
+                if cum >= need:
+                    thr.append(s)
+                    break
+        return thr
+
+    by_lang: dict = {}
+    for lang, d, s in rows:
+        by_lang.setdefault(lang, []).append((d, s))
+    for lang, docs in by_lang.items():
+        t = twin([s for _, s in docs])
+        for d, s in docs:
+            if s is None:
+                assert got[d] is None
+            elif round(s, 6) <= t[0]:
+                assert got[d] == "head", (d, s, t)
+            elif round(s, 6) <= t[1]:
+                assert got[d] == "middle", (d, s, t)
+            else:
+                assert got[d] == "tail", (d, s, t)
+
+    # the fr tie: threshold1 = 2nd smallest = 5.0, so ALL ties are head
+    assert {got[f"f{i}"] for i in range(2, 6)} == {"head"}
+    assert got["d1"] == "head"
+
+
+def test_quantile_buckets_global_and_validation(spark):
+    from cerberus_spark.operators.sample import quantile_buckets
+
+    df = spark.createDataFrame(
+        [(f"d{i}", float(i)) for i in range(1, 11)], "doc_id string, score double"
+    )
+    got = {
+        r.doc_id: r.bucket
+        for r in quantile_buckets(df, "score", cuts_permille=(500,), labels=("lo", "hi")).collect()
+    }
+    # type-1 median of 1..10 = 5th value = 5.0
+    assert all(got[f"d{i}"] == "lo" for i in range(1, 6))
+    assert all(got[f"d{i}"] == "hi" for i in range(6, 11))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "score", labels=("a", "b"))  # wrong arity
+    with pytest.raises(ValueError):
+        quantile_buckets(df, "score", cuts_permille=(700, 300))
+
+
+def test_quantile_buckets_threshold_join_is_broadcast_no_data_window(spark):
+    """The scan side must never be window-sorted: thresholds reduce to
+    |groups| rows and broadcast back (the anti-ntile shape)."""
+    from cerberus_spark.operators.sample import quantile_buckets
+
+    df = spark.createDataFrame(
+        [("en", f"d{i}", float(i % 7)) for i in range(100)],
+        "lang string, doc_id string, score double",
+    )
+    out = quantile_buckets(df, "score", group_col="lang")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
