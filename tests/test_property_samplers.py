@@ -119,3 +119,75 @@ def test_leak_safe_split_never_separates_a_cluster(_spark, cmap, salt):
     assert n_mixed == 0
     # and every input row got a split (left join keeps unclustered rows)
     assert out.count() == 200
+
+
+# ---------------------------------------------------------------------------
+# quantile_buckets: Spark == pure-python type-1 twin for arbitrary inputs
+# ---------------------------------------------------------------------------
+
+
+def _twin_buckets(rows, cuts, labels):
+    """Pure-python type-1 quantile bucketing twin (ties to earlier
+    bucket, NULLs unbucketed and excluded from n)."""
+    out = {}
+    by_g: dict = {}
+    for g, i, s in rows:
+        by_g.setdefault(g, []).append((i, s))
+    for g, docs in by_g.items():
+        ss = sorted(round(s, 6) for _, s in docs if s is not None)
+        n = len(ss)
+        thr = []
+        for q in cuts:
+            need = (n * q + 999) // 1000
+            thr.append(ss[need - 1] if n else None)
+        for i, s in docs:
+            if s is None:
+                out[i] = None
+                continue
+            r = round(s, 6)
+            lab = labels[-1]
+            for t, name in zip(thr, labels):
+                if t is not None and r <= t:
+                    lab = name
+                    break
+            out[i] = lab
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    scores=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ),
+            # force heavy ties: a tiny discrete domain
+            st.sampled_from([0.0, 1.0, 1.0000004, 2.5]),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_groups=st.integers(min_value=1, max_value=3),
+    cuts=st.sampled_from([(333, 667), (500,), (250, 500, 750)]),
+)
+def test_quantile_buckets_matches_twin_for_arbitrary_scores(
+    _spark, scores, n_groups, cuts
+):
+    from cerberus_spark.operators.sample import quantile_buckets
+
+    labels = tuple(f"b{i}" for i in range(len(cuts) + 1))
+    rows = [(f"g{j % n_groups}", j, s) for j, s in enumerate(scores)]
+    df = _spark.createDataFrame(rows, "g string, i long, score double")
+    got = {
+        r.i: r.bucket
+        for r in quantile_buckets(
+            df, "score", group_col="g", cuts_permille=cuts, labels=labels
+        ).collect()
+    }
+    want = _twin_buckets(rows, cuts, labels)
+    assert got == want
