@@ -42,6 +42,7 @@ def clean_corpus(
     checkpoint_stages: bool = True,
     arrow_gate: bool = True,
     survivor_policy: str = "min_id",
+    lm_filter: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Returns lazy DataFrames:
 
@@ -49,6 +50,20 @@ def clean_corpus(
       the quality gate, not an exact dup, not a near-dup cluster loser;
     - ``dropped``: (id, stage, reason) one row per dropped document;
     - ``report``: (stage, reason, n_docs) aggregate drop causes.
+
+    ``lm_filter`` (optional, default off) appends the CCNet-style LM
+    quality stage AFTER dedup (and substring removal, so scores see
+    final text): documents are scored with the corpus-fit unigram LM
+    (:func:`unigram_logprob_scores`), bucketed by per-group type-1
+    score quantiles (:func:`quantile_buckets`), and dropped unless
+    their bucket is in ``keep_buckets`` — stage ``lm_quality``, reason
+    ``bucket_<name>``.  Keys: ``group_col`` (e.g. ``"lang"``; None =
+    global thresholds), ``keep_buckets`` (default ``("head",
+    "middle")``), ``cuts_permille`` / ``labels`` (default thirds),
+    ``vocab_size`` (caps the LM's broadcast table).  Documents the LM
+    cannot score (no tokens) are KEPT — drops require positive
+    evidence.  Runs only on dedup survivors: two capped count shuffles
+    + broadcast joins, never a data-sized window.
 
     ``survivor_policy`` picks which member of every NEAR-dup cluster
     keeps: ``"min_id"`` (default — positional, same as
@@ -178,7 +193,44 @@ def clean_corpus(
         span_pairs = winnow_candidates(fps, id_col, bucket_cap=bucket_cap)
         kept = remove_shared_spans(kept, span_pairs, text_col, id_col, min_run=min_run)
 
+    # --- stage 5 (optional): CCNet LM-quality bucket filter ----------
+    lm_drops = None
+    if lm_filter is not None:
+        from cerberus_spark.functions.text import unigram_logprob_scores
+        from cerberus_spark.operators.sample import quantile_buckets
+
+        lf = dict(lm_filter)
+        group_col = lf.pop("group_col", None)
+        keep_buckets = tuple(lf.pop("keep_buckets", ("head", "middle")))
+        cuts = tuple(lf.pop("cuts_permille", (333, 667)))
+        labels = tuple(lf.pop("labels", ("head", "middle", "tail")))
+        vocab_size = lf.pop("vocab_size", None)
+        if lf:
+            raise ValueError(f"unknown lm_filter keys: {sorted(lf)}")
+        if not set(keep_buckets) <= set(labels):
+            raise ValueError(f"keep_buckets {keep_buckets} not all in labels {labels}")
+        if checkpoint_stages:
+            # kept feeds BOTH the LM count passes and the final output
+            kept = kept.localCheckpoint(eager=False)
+        scores = unigram_logprob_scores(kept, text_col, id_col, vocab_size=vocab_size)
+        if group_col is not None:
+            scores = scores.join(kept.select(id_col, group_col), id_col)
+        buckets = quantile_buckets(
+            scores, "unigram_nll", group_col=group_col,
+            cuts_permille=cuts, labels=labels,
+        )
+        lm_drops = buckets.filter(~F.col("bucket").isin(*keep_buckets)).select(
+            F.col(id_col).alias("id"),
+            F.lit("lm_quality").alias("stage"),
+            F.concat(F.lit("bucket_"), F.col("bucket")).alias("reason"),
+        )
+        kept = kept.join(
+            lm_drops.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+
     dropped = quality_drops.unionByName(exact_drops).unionByName(losers)
+    if lm_drops is not None:
+        dropped = dropped.unionByName(lm_drops)
     report = dropped.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
     return {"kept": kept, "dropped": dropped, "report": report}
 

@@ -200,3 +200,69 @@ def test_clean_corpus_survivor_policy_longest(spark, corpus):
 
     with pytest.raises(ValueError, match="survivor_policy"):
         clean_corpus(docs, survivor_policy="bogus", **kw)
+
+
+def test_clean_corpus_lm_filter_stage(spark):
+    """The optional CCNet LM stage drops exactly the docs whose bucket
+    falls outside keep_buckets, records lm_quality rows, keeps
+    unscorable docs, and validates its config."""
+    import pytest
+
+    from cerberus_spark.functions.text import unigram_logprob_scores
+    from cerberus_spark.operators.sample import quantile_buckets
+
+    # 9 distinct docs, all long enough for the gate, no dups: buckets
+    # split them 3/3/3 by corpus-LM score
+    # doc i carries i cross-doc-common words (commonJ appears in docs
+    # J+1..9, so corpus frequencies vary) interleaved with doc-unique
+    # singleton fillers: scores differ across docs, no word repeats
+    # inside a doc (repetition gates silent), and every 3-shingle
+    # contains a doc-unique filler (near-dup stage silent).
+    def _doc(i):
+        toks = []
+        for j in range(i):
+            toks += [f"u{i}x{j}", f"common{j}"]
+        toks += [f"u{i}x{k}" for k in range(i, i + 12)]
+        return " ".join(toks)
+
+    rows = [(i, _doc(i)) for i in range(1, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(
+        quality_kwargs={"min_tokens": 5, "min_quality_milli": 0},
+        minhash_kwargs={"num_hashes": 16, "shingle_k": 3},
+    )
+
+    outs = clean_corpus(docs, lm_filter={"keep_buckets": ("head", "middle")}, **kw)
+    kept_ids = {r.doc_id for r in outs["kept"].collect()}
+    drop_rows = [r for r in outs["dropped"].collect() if r.stage == "lm_quality"]
+
+    # twin: same score + bucket computation on the dedup survivors
+    # (here: all 9 docs survive dedup)
+    scores = unigram_logprob_scores(docs, "text", "doc_id")
+    want_tail = {
+        r.doc_id
+        for r in quantile_buckets(scores, "unigram_nll").collect()
+        if r.bucket == "tail"
+    }
+    assert want_tail  # fixture must exercise the drop path
+    assert kept_ids == {i for i in range(1, 10)} - want_tail
+    assert {r.id for r in drop_rows} == want_tail
+    assert all(r.reason == "bucket_tail" for r in drop_rows)
+    # report aggregates the stage
+    rep = {(r.stage, r.reason): r.n_docs for r in outs["report"].collect()}
+    assert rep[("lm_quality", "bucket_tail")] == len(want_tail)
+
+    # keep only head -> strictly fewer survivors
+    head_only = clean_corpus(docs, lm_filter={"keep_buckets": ("head",)}, **kw)
+    assert head_only["kept"].count() < len(kept_ids)
+
+    # config validation
+    with pytest.raises(ValueError):
+        clean_corpus(docs, lm_filter={"bogus_key": 1}, **kw)
+    with pytest.raises(ValueError):
+        clean_corpus(docs, lm_filter={"keep_buckets": ("nope",)}, **kw)
+
+    # default (lm_filter=None) is unchanged: no lm_quality rows
+    base = clean_corpus(docs, **kw)
+    assert base["dropped"].filter(F.col("stage") == "lm_quality").count() == 0
+    assert base["kept"].count() == 9
