@@ -42,6 +42,18 @@ def main(argv: list[str] | None = None) -> int:
                    help="also cut shared verbatim runs >= --min-run chars "
                    "from the later duplicate (winnowing + span removal)")
     p.add_argument("--min-run", type=int, default=50)
+    p.add_argument("--lm-filter", action="store_true",
+                   help="append the CCNet LM-quality stage after dedup: "
+                   "score survivors with the corpus-fit unigram LM, bucket "
+                   "by per-group type-1 score quantiles, drop buckets not "
+                   "in --lm-keep")
+    p.add_argument("--lm-keep", default="head,middle",
+                   help="comma-separated buckets to keep (head/middle/tail)")
+    p.add_argument("--lm-group-col", default=None,
+                   help="bucket within this column's groups (e.g. lang); "
+                   "default: global thresholds")
+    p.add_argument("--lm-vocab-size", type=int, default=None,
+                   help="cap the LM's broadcast frequency table")
     p.add_argument("--incremental", action="store_true",
                    help="stream --input via availableNow: per-doc stages run "
                    "per micro-batch into --work-dir, corpus stages run once "
@@ -72,9 +84,18 @@ def main(argv: list[str] | None = None) -> int:
         "max_top_word_milli": args.max_top_word_milli,
         "min_quality_milli": args.min_quality_milli,
     }
+    lm_filter = None
+    if args.lm_filter:
+        lm_filter = {
+            "keep_buckets": tuple(args.lm_keep.split(",")),
+            "group_col": args.lm_group_col,
+            "vocab_size": args.lm_vocab_size,
+        }
     if args.incremental:
         if args.substring_removal:
             p.error("--substring-removal is batch-mode only")
+        if lm_filter is not None:
+            p.error("--lm-filter is batch-mode only (corpus-level LM fit)")
         from cerberus_spark.corpus import compact_corpus, ingest_corpus_increment
 
         work = args.work_dir or f"{args.sink}/_work"
@@ -110,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
             bucket_cap=args.bucket_cap,
             substring_removal=args.substring_removal,
             min_run=args.min_run,
+            lm_filter=lm_filter,
         )
     outs["kept"].write.mode("overwrite").parquet(f"{args.sink}/kept")
     outs["dropped"].write.mode("overwrite").parquet(f"{args.sink}/dropped")

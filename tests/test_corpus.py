@@ -266,3 +266,43 @@ def test_clean_corpus_lm_filter_stage(spark):
     base = clean_corpus(docs, **kw)
     assert base["dropped"].filter(F.col("stage") == "lm_quality").count() == 0
     assert base["kept"].count() == 9
+
+
+def test_corpus_job_cli_lm_filter(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.corpus_job import main
+
+    # reuse the lm fixture shape: 9 distinct docs, varying rare-token
+    # mass, gate-safe with loose thresholds
+    def _doc(i):
+        toks = []
+        for j in range(i):
+            toks += [f"u{i}x{j}", f"common{j}"]
+        toks += [f"u{i}x{k}" for k in range(i, i + 12)]
+        return " ".join(toks)
+
+    docs = spark.createDataFrame(
+        [(i, _doc(i)) for i in range(1, 10)], "doc_id long, text string"
+    )
+    inp = str(tmp_path / "docs")
+    docs.write.mode("overwrite").parquet(inp)
+    sink = str(tmp_path / "out")
+    rc = main([
+        "--input", inp, "--sink", sink,
+        "--min-tokens", "5", "--min-quality-milli", "0",
+        "--lm-filter", "--lm-keep", "head,middle",
+    ])
+    assert rc == 0
+    rep = spark.read.parquet(f"{sink}/report")
+    lm = rep.filter(F.col("stage") == "lm_quality").collect()
+    assert lm and all(r.reason == "bucket_tail" for r in lm)
+    kept = spark.read.parquet(f"{sink}/kept")
+    assert 0 < kept.count() < 9
+
+    # incremental mode rejects the corpus-level LM stage
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--input", inp, "--sink", sink, "--incremental", "--lm-filter"])
