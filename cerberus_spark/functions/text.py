@@ -421,6 +421,11 @@ def bigram_logprob_scores(
     """
     from cerberus_spark.operators.dedup import normalize_text
 
+    if not (0.0 <= lam < 1.0):
+        # lam == 1.0 drops the unigram floor: an unseen pair would hit
+        # log(0); the mixture must keep the always-positive term
+        raise ValueError(f"lam must be in [0, 1), got {lam}")
+
     words_expr = F.filter(
         F.split(normalize_text(F.col(text_col)), " "), lambda x: x != ""
     )

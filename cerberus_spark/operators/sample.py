@@ -291,7 +291,12 @@ def quantile_buckets(
     for i in range(1, len(cuts_permille)):
         bucket = bucket.when(s <= F.col(f"_t{i}"), F.lit(labels[i]))
     bucket = bucket.otherwise(F.lit(labels[-1]))
-    # NULL scores: no bucket (rounded NULL never reaches a threshold)
-    bucket = F.when(s.isNull(), F.lit(None).cast("string")).otherwise(bucket)
+    # no bucket for NULL scores, or for rows whose group never formed a
+    # histogram (NULL group key: join keys don't match on NULL, and the
+    # otherwise-branch would silently file them under the LAST label)
+    unbucketable = s.isNull()
+    if grp:
+        unbucketable = unbucketable | F.col(group_col).isNull()
+    bucket = F.when(unbucketable, F.lit(None).cast("string")).otherwise(bucket)
     drop = [f"_t{i}" for i in range(len(cuts_permille))]
     return joined.withColumn("bucket", bucket).drop(*drop)

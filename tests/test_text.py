@@ -265,6 +265,12 @@ def test_bigram_scoring_joins_are_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
+    import pytest
+
+    with pytest.raises(ValueError):
+        # lam=1.0 would drop the always-positive unigram term (log(0))
+        bigram_logprob_scores(df, "text", "doc_id", lam=1.0)
+
 
 # ---------------------------------------------------------------------------
 # unicode normalization

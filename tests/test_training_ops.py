@@ -558,6 +558,9 @@ def test_quantile_buckets_matches_python_twin(spark):
         # lang de: single row -> everything is head
         ("de", "d1", 42.0),
         ("en", "enull", None),
+        # NULL group: no histogram can match it (join keys never equal
+        # NULL) -> must stay unbucketed, never default to 'tail'
+        (None, "gnull", 7.0),
     ]
     df = spark.createDataFrame(rows, "lang string, doc_id string, score double")
 
@@ -582,8 +585,12 @@ def test_quantile_buckets_matches_python_twin(spark):
                     break
         return thr
 
+    assert got["gnull"] is None
+
     by_lang: dict = {}
     for lang, d, s in rows:
+        if lang is None:
+            continue
         by_lang.setdefault(lang, []).append((d, s))
     for lang, docs in by_lang.items():
         t = twin([s for _, s in docs])
