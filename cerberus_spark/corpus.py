@@ -60,7 +60,9 @@ def clean_corpus(
     ``bucket_<name>``.  Keys: ``group_col`` (e.g. ``"lang"``; None =
     global thresholds), ``keep_buckets`` (default ``("head",
     "middle")``), ``cuts_permille`` / ``labels`` (default thirds),
-    ``vocab_size`` (caps the LM's broadcast table).  Documents the LM
+    ``vocab_size`` (caps the LM's broadcast table), ``model``
+    (``"unigram"`` default, or ``"bigram"`` for the context-aware
+    interpolated score).  Documents the LM
     cannot score (no tokens) are KEPT — drops require positive
     evidence.  Runs only on dedup survivors: two capped count shuffles
     + broadcast joins, never a data-sized window.
@@ -205,6 +207,7 @@ def clean_corpus(
         cuts = tuple(lf.pop("cuts_permille", (333, 667)))
         labels = tuple(lf.pop("labels", ("head", "middle", "tail")))
         vocab_size = lf.pop("vocab_size", None)
+        model = lf.pop("model", "unigram")
         if lf:
             raise ValueError(f"unknown lm_filter keys: {sorted(lf)}")
         if not set(keep_buckets) <= set(labels):
@@ -212,11 +215,26 @@ def clean_corpus(
         if checkpoint_stages:
             # kept feeds BOTH the LM count passes and the final output
             kept = kept.localCheckpoint(eager=False)
-        scores = unigram_logprob_scores(kept, text_col, id_col, vocab_size=vocab_size)
+        if model == "unigram":
+            scores = unigram_logprob_scores(
+                kept, text_col, id_col, vocab_size=vocab_size
+            )
+            score_col = "unigram_nll"
+        elif model == "bigram":
+            # context-aware: separates prose from shuffled word salad
+            # the order-blind unigram score cannot see
+            from cerberus_spark.functions.text import bigram_logprob_scores
+
+            scores = bigram_logprob_scores(
+                kept, text_col, id_col, vocab_size=vocab_size
+            )
+            score_col = "bigram_nll"
+        else:
+            raise ValueError(f"unknown lm_filter model: {model!r}")
         if group_col is not None:
             scores = scores.join(kept.select(id_col, group_col), id_col)
         buckets = quantile_buckets(
-            scores, "unigram_nll", group_col=group_col,
+            scores, score_col, group_col=group_col,
             cuts_permille=cuts, labels=labels,
         )
         lm_drops = buckets.filter(~F.col("bucket").isin(*keep_buckets)).select(

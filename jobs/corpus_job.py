@@ -54,6 +54,9 @@ def main(argv: list[str] | None = None) -> int:
                    "default: global thresholds")
     p.add_argument("--lm-vocab-size", type=int, default=None,
                    help="cap the LM's broadcast frequency table")
+    p.add_argument("--lm-model", default="unigram",
+                   choices=("unigram", "bigram"),
+                   help="bigram = context-aware interpolated score")
     p.add_argument("--incremental", action="store_true",
                    help="stream --input via availableNow: per-doc stages run "
                    "per micro-batch into --work-dir, corpus stages run once "
@@ -90,6 +93,7 @@ def main(argv: list[str] | None = None) -> int:
             "keep_buckets": tuple(args.lm_keep.split(",")),
             "group_col": args.lm_group_col,
             "vocab_size": args.lm_vocab_size,
+            "model": args.lm_model,
         }
     if args.incremental:
         if args.substring_removal:

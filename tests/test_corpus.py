@@ -256,11 +256,19 @@ def test_clean_corpus_lm_filter_stage(spark):
     head_only = clean_corpus(docs, lm_filter={"keep_buckets": ("head",)}, **kw)
     assert head_only["kept"].count() < len(kept_ids)
 
+    # bigram model: same machinery, context-aware score; drops exist
+    # and carry the same stage/reason vocabulary
+    bi = clean_corpus(docs, lm_filter={"model": "bigram"}, **kw)
+    bi_drops = [r for r in bi["dropped"].collect() if r.stage == "lm_quality"]
+    assert bi_drops and all(r.reason == "bucket_tail" for r in bi_drops)
+
     # config validation
     with pytest.raises(ValueError):
         clean_corpus(docs, lm_filter={"bogus_key": 1}, **kw)
     with pytest.raises(ValueError):
         clean_corpus(docs, lm_filter={"keep_buckets": ("nope",)}, **kw)
+    with pytest.raises(ValueError):
+        clean_corpus(docs, lm_filter={"model": "trigram"}, **kw)
 
     # default (lm_filter=None) is unchanged: no lm_quality rows
     base = clean_corpus(docs, **kw)
