@@ -1704,7 +1704,14 @@ def q_sequence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_join) stays codegen inside the first aggregate."""
     from cerberus_spark.operators.dedup import sequence_dup_groups
 
-    ev = _t(spark, sf_dir, "events").withColumn(
+    ev = _conv_keyed_events(spark, sf_dir)
+    return sequence_dup_groups(ev, "conv_key", ["ts", "event_id"], "event_type")
+
+
+def _conv_keyed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events keyed by (user, day) conversation — shared by the
+    sequence-dedup family (exact + near)."""
+    return _t(spark, sf_dir, "events").withColumn(
         "conv_key",
         F.concat_ws(
             "|",
@@ -1712,7 +1719,47 @@ def q_sequence_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("day", F.col("ts")).cast("date").cast("string"),
         ),
     )
-    return sequence_dup_groups(ev, "conv_key", ["ts", "event_id"], "event_type")
+
+
+def q_conv_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level MinHash: one 16-position signature per
+    (user, day) conversation over ordered turn-bigram shingles —
+    exploded to (key, h_idx, h_val) for the cross-engine compare.
+    ONE exchange: the signature groupBy rides the lag-window's
+    hash(key) partitioning (locked in tests/test_plans.py)."""
+    from cerberus_spark.operators.dedup import sequence_minhash
+
+    sigs = sequence_minhash(
+        _conv_keyed_events(spark, sf_dir), "conv_key", ["ts", "event_id"], "event_type"
+    )
+    return sigs.select(
+        "key", F.posexplode("sig").alias("h_idx", "h_val")
+    ).select("key", F.col("h_idx").cast("int").alias("h_idx"), "h_val")
+
+
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level NEAR dedup: LSH banding over the sequence
+    MinHash signatures — pairs of (user, day) conversations whose
+    ordered event_type sequences are near-identical (a few edited /
+    inserted turns), which exact sequence fingerprints cannot see.
+    Same banded bucket-join shape as the document MinHash family,
+    with the bucket_cap guard ON (cap=8): transcript corpora are full
+    of byte-identical SHORT conversations whose shared signature makes
+    one degenerate bucket per band — quadratic pairs no partitioning
+    fixes.  Capped buckets are dropped whole (visible, never silent);
+    their members are exact dups and `sequence_dups` already reports
+    them."""
+    from cerberus_spark.operators.dedup import sequence_neardup_candidates
+
+    return sequence_neardup_candidates(
+        _conv_keyed_events(spark, sf_dir),
+        "conv_key",
+        ["ts", "event_id"],
+        "event_type",
+        bands=4,
+        rows_per_band=4,
+        bucket_cap=8,
+    )
 
 
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2556,6 +2603,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Tail: r4-gated pairs on since-unchanged code, the 21 stale
         # pairs that did not fit (they remain locally green at three
         # SFs via scripts/oracle_check.py), then TPC-H stalwarts.
+        # (r5 late additions, never gated: conversation-level NEAR dedup)
+        "conv_minhash": q_conv_minhash,
+        "conv_neardup": q_conv_neardup,
         "sequence_dups": q_sequence_dups,
         "cluster_reps": q_cluster_reps,
         "null_rate_drift": q_null_rate_drift,
@@ -4319,6 +4369,47 @@ WITH fp AS (
 SELECT seq_fp, count(*)::BIGINT AS n_keys, min(n_items) AS n_items,
        string_agg(key, ',' ORDER BY key) AS keys
 FROM fp GROUP BY seq_fp HAVING count(*) > 1
+"""
+    # conversation-level NEAR dedup: turn-bigram shingles (md5-hashed
+    # tokens, "^" boundary sentinel) -> universal-hash MinHash with the
+    # SAME (a_j, b_j) coefficients as cerberus_spark.operators.dedup
+    conv_sig_cte = f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS key,
+         ts, event_id, coalesce(event_type, '') AS tok
+  FROM events
+), sh AS (
+  SELECT key,
+         coalesce(lag(md5(tok), 1) OVER (PARTITION BY key ORDER BY ts, event_id, tok), '^')
+           || chr(31) || md5(tok) AS s
+  FROM t
+), hs AS (
+  SELECT key, {_MD5_I64.format(expr="s")} % {MINHASH_P} AS h FROM sh
+), sig AS (
+  SELECT key, c.j AS h_idx, min((c.a * h + c.b) % {MINHASH_P})::BIGINT AS h_val
+  FROM hs CROSS JOIN (VALUES {coeff_values}) c(j, a, b)
+  GROUP BY key, c.j
+)"""
+    out["conv_minhash"] = f"""
+{conv_sig_cte}
+SELECT key, CAST(h_idx AS INT) AS h_idx, h_val FROM sig
+"""
+    out["conv_neardup"] = f"""
+{conv_sig_cte},
+band AS (
+  SELECT key, h_idx // 4 AS band_idx,
+         string_agg(CAST(h_val AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+  FROM sig GROUP BY key, h_idx // 4
+), kept AS (
+  -- bucket cap: drop whole buckets with more than 8 members
+  SELECT key, band_idx, band_sig FROM (
+    SELECT band.*, count(*) OVER (PARTITION BY band_idx, band_sig) AS _n FROM band
+  ) WHERE _n <= 8
+)
+SELECT a.key AS id_a, b.key AS id_b, count(*)::BIGINT AS n_bands_shared
+FROM kept a JOIN kept b
+  ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.key < b.key
+GROUP BY a.key, b.key
 """
     out["winnow_clusters"] = f"""
 WITH RECURSIVE cand AS ({winnow_sql}),

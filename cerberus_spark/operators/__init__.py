@@ -11,6 +11,8 @@ from cerberus_spark.operators.dedup import (
     minhash_dup_candidates,
     sequence_dup_groups,
     sequence_fingerprints,
+    sequence_minhash,
+    sequence_neardup_candidates,
     simhash64,
 )
 from cerberus_spark.operators.graph import cluster_representatives, dedup_clusters
@@ -30,6 +32,8 @@ __all__ = [
     "minhash_dup_candidates",
     "sequence_dup_groups",
     "sequence_fingerprints",
+    "sequence_minhash",
+    "sequence_neardup_candidates",
     "simhash64",
     "cluster_representatives",
     "dedup_clusters",

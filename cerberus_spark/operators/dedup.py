@@ -885,3 +885,106 @@ def sequence_dup_groups(
         )
         .filter(F.col("n_keys") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered-sequence (conversation-level) NEAR dedup
+# ---------------------------------------------------------------------------
+
+def sequence_minhash(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """MinHash signature per ``key_col`` group over the ORDERED
+    ``token_col`` sequence — the near-dup twin of
+    :func:`sequence_fingerprints`: two conversations whose turn
+    sequences differ in a FEW turns (one edited reply, one inserted
+    tool call) share most signature positions, which exact sequence
+    fingerprints cannot see.  Output: (key, sig: array<long>,
+    n_shingles).
+
+    Shingles are ``shingle_k``-grams of per-turn md5 fingerprints in
+    total (order_cols, token) order, LEFT-padded with a boundary
+    sentinel ("^" — disjoint from md5's hex alphabet) so every row
+    yields exactly one shingle and conversations shorter than
+    ``shingle_k`` are still represented.  ``shingle_k=1`` degrades to
+    the order-INSENSITIVE bag-of-turns signature; ``shingle_k>=2`` is
+    order-aware (a permuted conversation signs differently).  Tokens
+    are hashed before joining, so a token containing the separator
+    cannot alias a distinct sequence (same guarantee as
+    :func:`sequence_fingerprints`).
+
+    Scale shape: ONE exchange total.  The lag window hash-partitions
+    by key and sorts partition-locally (spills, never buffers a whole
+    conversation — this family's answer to the chunk_size guard); the
+    per-key signature groupBy reuses the window's hash(key)
+    partitioning, so Catalyst plans it with NO second exchange
+    (locked in tests/test_plans.py).  The ``num_hashes`` minima are
+    cheap multiply-adds over one md5 per shingle, map-side partial
+    aggregated.  Deterministic across engines and partitionings
+    (md5-derived, MINHASH_P modular field — every product < 2^62).
+    """
+    tok = F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok")
+    base = df.select(
+        F.col(key_col).alias("key"), *[F.col(c) for c in order_cols], tok
+    )
+    w = Window.partitionBy("key").orderBy(
+        *[F.col(c) for c in order_cols], F.col("__tok")
+    )
+    tok_h = F.md5(F.col("__tok"))
+    parts = [
+        F.coalesce(F.lag(tok_h, off).over(w), F.lit("^"))
+        for off in range(shingle_k - 1, 0, -1)
+    ] + [tok_h]
+    shingle = F.concat_ws("\x1f", *parts)
+    hashed = base.select(
+        F.col("key"), F.pmod(md5_i64(shingle), F.lit(MINHASH_P)).alias("__h")
+    )
+    h = F.col("__h")
+    sig_aggs = [
+        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"__s{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    return hashed.groupBy("key").agg(
+        *sig_aggs, F.count(F.lit(1)).alias("n_shingles")
+    ).select(
+        "key",
+        F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"),
+        "n_shingles",
+    )
+
+
+def sequence_neardup_candidates(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Conversation pairs that are NEAR-duplicates of each other:
+    :func:`sequence_minhash` signatures banded through the shared LSH
+    machinery (:func:`minhash_dup_candidates` — same band explode,
+    bucket groupBy, in-bucket pair generation, and ``bucket_cap``
+    degenerate-corpus guard).  Output: (id_a, id_b, n_bands_shared).
+
+    Exact sequence duplicates share ALL bands; near-dups (a few
+    edited/inserted turns) share most signature positions and
+    therefore, with high probability, at least one full band.  Feed
+    the pairs to ``graph.connected_components`` /
+    ``dedup_clusters`` for conversation-level survivorship, exactly
+    like the document-level families.
+    """
+    sigs = sequence_minhash(
+        df, key_col, order_cols, token_col, num_hashes, shingle_k
+    )
+    return minhash_dup_candidates(
+        sigs.select("key", "sig"), "key", bands, rows_per_band, bucket_cap
+    )

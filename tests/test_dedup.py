@@ -451,3 +451,78 @@ def test_minhash_band_misconfiguration_raises(spark, docs_df):
     # the well-formed configuration on the same signatures still works
     ok = minhash_dup_candidates(sigs, "doc_id", bands=4, rows_per_band=2)
     assert ok.count() >= 0
+
+
+# ---------------------------------------------------------------------------
+# conversation-level NEAR dedup (sequence MinHash)
+# ---------------------------------------------------------------------------
+
+def _conv_df(spark):
+    toks = [f"t{i}" for i in range(20)]
+    rows = []
+    for conv, seq in [
+        ("A", toks),
+        ("B", toks),                              # exact dup of A
+        ("C", toks[:10] + ["XX"] + toks[11:]),    # near-dup: 1 of 20 turns edited
+        ("D", list(reversed(toks))),              # same bag, different order
+        ("E", [f"z{i}" for i in range(20)]),      # disjoint
+    ]:
+        rows += [(conv, i, t) for i, t in enumerate(seq)]
+    return spark.createDataFrame(rows, "conv string, idx int, tok string")
+
+
+def test_sequence_minhash_exact_near_disjoint(spark):
+    from cerberus_spark.operators.dedup import sequence_minhash
+
+    sigs = {r.key: (list(r.sig), r.n_shingles)
+            for r in sequence_minhash(_conv_df(spark), "conv", ["idx"], "tok").collect()}
+    assert sigs["A"] == sigs["B"]                       # identical sequences sign identically
+    same = sum(a == c for a, c in zip(sigs["A"][0], sigs["C"][0]))
+    assert same >= 8                                    # one edited turn: most positions survive
+    assert sigs["A"][0] != sigs["D"][0]                 # k=2 is order-aware
+    assert sigs["A"][0] != sigs["E"][0]
+    assert all(n == 20 for _, n in sigs.values())       # sentinel pad: one shingle per row
+
+
+def test_sequence_minhash_k1_is_bag(spark):
+    from cerberus_spark.operators.dedup import sequence_minhash
+
+    sigs = {r.key: list(r.sig)
+            for r in sequence_minhash(_conv_df(spark), "conv", ["idx"], "tok",
+                                      shingle_k=1).collect()}
+    assert sigs["A"] == sigs["D"]                       # bag-of-turns: permutation-insensitive
+
+
+def test_sequence_minhash_partition_invariance(spark):
+    from cerberus_spark.operators.dedup import sequence_minhash
+
+    df = _conv_df(spark)
+    base = sorted((r.key, list(r.sig), r.n_shingles)
+                  for r in sequence_minhash(df, "conv", ["idx"], "tok").collect())
+    re7 = sorted((r.key, list(r.sig), r.n_shingles)
+                 for r in sequence_minhash(df.repartition(7), "conv", ["idx"], "tok").collect())
+    assert base == re7
+
+
+def test_sequence_neardup_candidates(spark):
+    from cerberus_spark.operators.dedup import sequence_neardup_candidates
+
+    cand = {(r.id_a, r.id_b): r.n_bands_shared
+            for r in sequence_neardup_candidates(
+                _conv_df(spark), "conv", ["idx"], "tok",
+                bands=4, rows_per_band=4).collect()}
+    assert cand[("A", "B")] == 4                        # exact dup shares ALL bands
+    assert ("A", "C") in cand and ("B", "C") in cand    # near-dup surfaces through >=1 band
+    assert not any("E" in p for p in cand)              # disjoint never pairs
+
+
+def test_sequence_neardup_bucket_cap(spark):
+    from cerberus_spark.operators.dedup import sequence_neardup_candidates
+
+    # 6 byte-identical conversations: uncapped emits 15 pairs from each
+    # band's single bucket; cap=2 drops the degenerate buckets whole
+    rows = [(f"c{j}", i, f"t{i}") for j in range(6) for i in range(10)]
+    df = spark.createDataFrame(rows, "conv string, idx int, tok string")
+    assert sequence_neardup_candidates(df, "conv", ["idx"], "tok").count() == 15
+    assert sequence_neardup_candidates(
+        df, "conv", ["idx"], "tok", bucket_cap=2).count() == 0

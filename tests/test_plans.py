@@ -492,3 +492,16 @@ def test_q20_semi_join_chain_all_broadcast(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 0, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_sequence_minhash_single_shuffle_reuses_window_partitioning(spark):
+    """Conversation MinHash shuffles the corpus ONCE: the signature
+    groupBy(key) rides the lag-window's hash(key) exchange (no second
+    Exchange), and shingling + the 16 minima are pure JVM expressions."""
+    from cerberus_spark.operators.dedup import sequence_minhash
+
+    df = spark.createDataFrame([("A", 1, "x")], "key string, pos int, tok string")
+    plan = plan_of(sequence_minhash(df, "key", ["pos"], "tok"))
+    assert n_exchanges(plan) == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
