@@ -1762,6 +1762,49 @@ def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation near-dup VERIFY: the LSH candidates re-scored with
+    exact Jaccard over each conversation's distinct turn-bigram shingle
+    set, kept at >= 0.25 — banding recalls, Jaccard decides (the
+    conversation twin of the document candidate->verify contract).
+    Verify-join volume is |capped candidates| x avg shingles, never
+    all-pairs."""
+    from cerberus_spark.operators.dedup import sequence_neardup_pairs
+
+    return sequence_neardup_pairs(
+        _conv_keyed_events(spark, sf_dir),
+        "conv_key",
+        ["ts", "event_id"],
+        "event_type",
+        bands=4,
+        rows_per_band=4,
+        bucket_cap=8,
+        threshold=0.25,
+    )
+
+
+def q_conv_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation dedup clusters: connected components over the
+    VERIFIED near-dup pairs (jaccard >= 0.5) with cluster size and the
+    canonical-survivor flag — the conversation-level survivorship pass
+    a transcript corpus runs after near-dedup, same machinery as the
+    document families (pointer-shortcut CC, ~log2(diameter) rounds)."""
+    from cerberus_spark.operators.dedup import sequence_neardup_pairs
+    from cerberus_spark.operators.graph import dedup_clusters
+
+    pairs = sequence_neardup_pairs(
+        _conv_keyed_events(spark, sf_dir),
+        "conv_key",
+        ["ts", "event_id"],
+        "event_type",
+        bands=4,
+        rows_per_band=4,
+        bucket_cap=8,
+        threshold=0.5,
+    )
+    return dedup_clusters(pairs)
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate documents
     (MinHash LSH pairs -> connected components) share a duplicate
@@ -2606,6 +2649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (r5 late additions, never gated: conversation-level NEAR dedup)
         "conv_minhash": q_conv_minhash,
         "conv_neardup": q_conv_neardup,
+        "conv_jaccard": q_conv_jaccard,
+        "conv_clusters": q_conv_clusters,
         "sequence_dups": q_sequence_dups,
         "cluster_reps": q_cluster_reps,
         "null_rate_drift": q_null_rate_drift,
@@ -4410,6 +4455,63 @@ SELECT a.key AS id_a, b.key AS id_b, count(*)::BIGINT AS n_bands_shared
 FROM kept a JOIN kept b
   ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.key < b.key
 GROUP BY a.key, b.key
+"""
+    # candidate -> verify: exact Jaccard of the distinct shingle-hash
+    # sets, rounded to 6 places BEFORE the threshold (cross-engine)
+    conv_verify_ctes = f"""
+band AS (
+  SELECT key, h_idx // 4 AS band_idx,
+         string_agg(CAST(h_val AS VARCHAR), '_' ORDER BY h_idx) AS band_sig
+  FROM sig GROUP BY key, h_idx // 4
+), kept AS (
+  SELECT key, band_idx, band_sig FROM (
+    SELECT band.*, count(*) OVER (PARTITION BY band_idx, band_sig) AS _n FROM band
+  ) WHERE _n <= 8
+), cand AS (
+  SELECT a.key AS id_a, b.key AS id_b
+  FROM kept a JOIN kept b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig AND a.key < b.key
+  GROUP BY 1, 2
+), shd AS (
+  SELECT DISTINCT key, h FROM hs
+), sz AS (
+  SELECT key, count(*)::BIGINT AS n_sh FROM shd GROUP BY key
+), shared AS (
+  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n_shared
+  FROM cand c
+  JOIN shd a ON a.key = c.id_a
+  JOIN shd b ON b.key = c.id_b AND b.h = a.h
+  GROUP BY 1, 2
+), jac AS (
+  SELECT s.id_a, s.id_b,
+         round(s.n_shared / (sa.n_sh + sb.n_sh - s.n_shared), 6) AS jaccard
+  FROM shared s JOIN sz sa ON sa.key = s.id_a JOIN sz sb ON sb.key = s.id_b
+)"""
+    out["conv_jaccard"] = f"""
+{conv_sig_cte},
+{conv_verify_ctes}
+SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.25
+"""
+    out["conv_clusters"] = f"""
+{conv_sig_cte.replace("WITH t AS", "WITH RECURSIVE t AS")},
+{conv_verify_ctes},
+jpairs AS (
+  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+sizes AS (SELECT cluster_id, count(*)::BIGINT AS csize FROM cc GROUP BY cluster_id)
+SELECT cc.id, cc.cluster_id, s.csize, (cc.id = cc.cluster_id) AS keep
+FROM cc JOIN sizes s USING (cluster_id)
 """
     out["winnow_clusters"] = f"""
 WITH RECURSIVE cand AS ({winnow_sql}),

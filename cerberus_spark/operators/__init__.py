@@ -13,6 +13,7 @@ from cerberus_spark.operators.dedup import (
     sequence_fingerprints,
     sequence_minhash,
     sequence_neardup_candidates,
+    sequence_neardup_pairs,
     simhash64,
 )
 from cerberus_spark.operators.graph import cluster_representatives, dedup_clusters
@@ -34,6 +35,7 @@ __all__ = [
     "sequence_fingerprints",
     "sequence_minhash",
     "sequence_neardup_candidates",
+    "sequence_neardup_pairs",
     "simhash64",
     "cluster_representatives",
     "dedup_clusters",

@@ -891,6 +891,35 @@ def sequence_dup_groups(
 # ordered-sequence (conversation-level) NEAR dedup
 # ---------------------------------------------------------------------------
 
+def _sequence_shingle_hashes(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(key, __h) — one MINHASH_P-field hash per ordered turn k-gram
+    shingle (the shared substrate of :func:`sequence_minhash` and the
+    Jaccard verify step).  One lag-window exchange; every downstream
+    groupBy(key) reuses its hash(key) partitioning."""
+    tok = F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok")
+    base = df.select(
+        F.col(key_col).alias("key"), *[F.col(c) for c in order_cols], tok
+    )
+    w = Window.partitionBy("key").orderBy(
+        *[F.col(c) for c in order_cols], F.col("__tok")
+    )
+    tok_h = F.md5(F.col("__tok"))
+    parts = [
+        F.coalesce(F.lag(tok_h, off).over(w), F.lit("^"))
+        for off in range(shingle_k - 1, 0, -1)
+    ] + [tok_h]
+    shingle = F.concat_ws("\x1f", *parts)
+    return base.select(
+        F.col("key"), F.pmod(md5_i64(shingle), F.lit(MINHASH_P)).alias("__h")
+    )
+
+
 def sequence_minhash(
     df: DataFrame,
     key_col: str,
@@ -928,22 +957,7 @@ def sequence_minhash(
     aggregated.  Deterministic across engines and partitionings
     (md5-derived, MINHASH_P modular field — every product < 2^62).
     """
-    tok = F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok")
-    base = df.select(
-        F.col(key_col).alias("key"), *[F.col(c) for c in order_cols], tok
-    )
-    w = Window.partitionBy("key").orderBy(
-        *[F.col(c) for c in order_cols], F.col("__tok")
-    )
-    tok_h = F.md5(F.col("__tok"))
-    parts = [
-        F.coalesce(F.lag(tok_h, off).over(w), F.lit("^"))
-        for off in range(shingle_k - 1, 0, -1)
-    ] + [tok_h]
-    shingle = F.concat_ws("\x1f", *parts)
-    hashed = base.select(
-        F.col("key"), F.pmod(md5_i64(shingle), F.lit(MINHASH_P)).alias("__h")
-    )
+    hashed = _sequence_shingle_hashes(df, key_col, order_cols, token_col, shingle_k)
     h = F.col("__h")
     sig_aggs = [
         F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"__s{j}")
@@ -987,4 +1001,63 @@ def sequence_neardup_candidates(
     )
     return minhash_dup_candidates(
         sigs.select("key", "sig"), "key", bands, rows_per_band, bucket_cap
+    )
+
+
+def sequence_neardup_pairs(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    token_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """VERIFIED conversation near-dup pairs: LSH candidates
+    (:func:`sequence_neardup_candidates`) re-scored with the EXACT
+    Jaccard similarity of the two conversations' distinct shingle-hash
+    sets, kept at ``jaccard >= threshold``.  Output: (id_a, id_b,
+    jaccard) — the conversation twin of :func:`ngram_jaccard_pairs`'
+    candidate->verify contract: banding recalls, Jaccard decides.
+
+    Scale shape: the candidate pass is the banded bucket join (capped
+    via ``bucket_cap``); the verify pass joins the candidate pairs to
+    the distinct shingle rows TWICE on the conversation key (shuffle
+    volume = |candidates| x avg shingles — bounded by the cap, never
+    all-pairs) and counts shared hashes per pair.  Jaccard is rounded
+    to 6 places before the threshold so the cross-engine float compare
+    is exact.  ``threshold`` must be > 0: pairs sharing NO shingle
+    drop out of the inner join (their Jaccard is 0 by definition).
+    """
+    if threshold <= 0:
+        raise ValueError("sequence_neardup_pairs: threshold must be > 0")
+    cand = sequence_neardup_candidates(
+        df, key_col, order_cols, token_col,
+        num_hashes, shingle_k, bands, rows_per_band, bucket_cap,
+    ).select("id_a", "id_b")
+    sh = _sequence_shingle_hashes(
+        df, key_col, order_cols, token_col, shingle_k
+    ).distinct()
+    sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("key").alias("id_a"), F.col("__h"))
+    b = sh.select(F.col("key").alias("id_b"), F.col("__h"))
+    shared = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "__h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.round(
+        F.col("n_shared")
+        / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")),
+        6,
+    )
+    return (
+        shared.join(sizes.alias("sa"), F.col("id_a") == F.col("sa.key"))
+        .join(sizes.alias("sb"), F.col("id_b") == F.col("sb.key"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -526,3 +526,20 @@ def test_sequence_neardup_bucket_cap(spark):
     assert sequence_neardup_candidates(df, "conv", ["idx"], "tok").count() == 15
     assert sequence_neardup_candidates(
         df, "conv", ["idx"], "tok", bucket_cap=2).count() == 0
+
+
+def test_sequence_neardup_pairs_verify(spark):
+    from cerberus_spark.operators.dedup import sequence_neardup_pairs
+
+    df = _conv_df(spark)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in sequence_neardup_pairs(df, "conv", ["idx"], "tok",
+                                           threshold=0.2).collect()}
+    assert got[("A", "B")] == 1.0                       # identical: jaccard 1
+    # one edited turn of 20, bigram shingles: 18 shared / 22 union
+    assert got[("A", "C")] == got[("B", "C")] == 0.818182
+    assert not any("E" in p for p in got)
+    hi = sequence_neardup_pairs(df, "conv", ["idx"], "tok", threshold=0.95)
+    assert {(r.id_a, r.id_b) for r in hi.collect()} == {("A", "B")}
+    with pytest.raises(ValueError):
+        sequence_neardup_pairs(df, "conv", ["idx"], "tok", threshold=0.0)
