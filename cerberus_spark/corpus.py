@@ -384,3 +384,115 @@ def compact_corpus(
     dropped = quality_drops.unionByName(exact_drops).unionByName(losers)
     report = dropped.groupBy("stage", "reason").agg(F.count(F.lit(1)).alias("n_docs"))
     return {"kept": kept, "dropped": dropped, "report": report}
+
+
+def clean_transcripts(
+    turns: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    state_col: str,
+    ts_col: str,
+    allowed: set[tuple[str, str]],
+    allowed_first: set[str] | None = None,
+    token_col: str | None = None,
+    num_hashes: int = 16,
+    shingle_k: int = 2,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = 200,
+    threshold: float = 0.5,
+    checkpoint_stages: bool = True,
+) -> dict[str, DataFrame]:
+    """Transcript twin of :func:`clean_corpus`, at CONVERSATION
+    granularity: health-gate -> conversation near-dedup -> keep/drop
+    report, every stage an already oracle-gated operator.
+
+    - stage 1 **health**: conversations with ANY sequence-structure
+      violation (``checks.sequence.sequence_violations`` — transition
+      grammar, NULL states, timestamp regressions, first-state; one
+      window pass) are quarantined whole — the conversation-level
+      analog of the corpus quality gate.
+    - stage 2 **near_dup**: among HEALTHY conversations (dedup must not
+      let a quarantined conversation steal survivorship), verified
+      near-dup clusters (``sequence_neardup_pairs`` -> Jaccard >=
+      ``threshold`` -> ``dedup_clusters``) keep their min-key member;
+      every other member drops as ``cluster_loser``.  Exact sequence
+      duplicates are a subcase (identical sequences share all bands and
+      have Jaccard 1), so no separate exact stage is needed.
+
+    Returns lazy DataFrames:
+
+    - ``kept``: surviving TURNS (all input columns);
+    - ``dropped``: (conv, stage, reason) — one row per (conversation,
+      violated rule) for health, one per cluster loser for near_dup;
+    - ``report``: (stage, reason, n_convs) — drop causes PLUS a
+      ('kept', 'survivor', n) row, so the report is self-accounting:
+      n_unhealthy + n_losers + n_kept = |convs| (health counts one
+      conv under EVERY rule it violates, so sum the distinct-conv
+      stage totals, not the per-reason rows).
+
+    Scale shape: one window pass over the corpus (health), one
+    |turns|-keyed distinct for the conversation census, the capped
+    near-dup chain over the healthy slice, and |convs|-sized joins for
+    the verdicts; ``checkpoint_stages`` localCheckpoints the
+    |convs|-sized unhealthy set because the lineage below branches
+    three ways (healthy filter, dropped rows, kept count) — without it
+    the window pass re-executes per branch.
+    """
+    from cerberus_spark.checks.sequence import sequence_violations
+    from cerberus_spark.operators.dedup import sequence_neardup_pairs
+    from cerberus_spark.operators.graph import dedup_clusters
+
+    token_col = token_col or state_col
+    conv = F.col(conv_col).alias("conv")
+
+    # --- stage 1: conversation health gate (one window pass) ---------
+    vio = sequence_violations(
+        turns, conv_col, state_col, ts_col, order_cols, allowed, allowed_first
+    )
+    dropped_health = vio.select(conv, "rule").distinct().select(
+        "conv", F.lit("health").alias("stage"), F.col("rule").alias("reason")
+    )
+    unhealthy = dropped_health.select("conv").distinct()
+    if checkpoint_stages:
+        unhealthy = unhealthy.localCheckpoint(eager=False)
+    healthy_turns = turns.join(
+        unhealthy, turns[conv_col] == unhealthy["conv"], "left_anti"
+    )
+
+    # --- stage 2: near-dup survivorship among healthy conversations --
+    pairs = sequence_neardup_pairs(
+        healthy_turns, conv_col, order_cols, token_col,
+        num_hashes, shingle_k, bands, rows_per_band, bucket_cap, threshold,
+    )
+    losers = dedup_clusters(pairs).filter(~F.col("keep")).select(
+        F.col("id").alias("conv")
+    )
+    if checkpoint_stages:
+        losers = losers.localCheckpoint(eager=False)
+    dropped_dup = losers.select(
+        "conv", F.lit("near_dup").alias("stage"), F.lit("cluster_loser").alias("reason")
+    )
+
+    kept = healthy_turns.join(
+        losers, healthy_turns[conv_col] == losers["conv"], "left_anti"
+    )
+    dropped = dropped_health.unionByName(dropped_dup)
+
+    kept_convs = (
+        turns.select(conv).distinct()
+        .join(unhealthy, "conv", "left_anti")
+        .join(losers, "conv", "left_anti")
+    )
+    report = (
+        dropped.groupBy("stage", "reason")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .unionByName(
+            kept_convs.agg(F.count(F.lit(1)).alias("n_convs")).select(
+                F.lit("kept").alias("stage"),
+                F.lit("survivor").alias("reason"),
+                "n_convs",
+            )
+        )
+    )
+    return {"kept": kept, "dropped": dropped, "report": report}

@@ -314,3 +314,57 @@ def test_corpus_job_cli_lm_filter(spark, tmp_path):
 
     with pytest.raises(SystemExit):
         main(["--input", inp, "--sink", sink, "--incremental", "--lm-filter"])
+
+
+# ---------------------------------------------------------------------------
+# clean_transcripts: conversation-granularity health -> near-dedup
+# ---------------------------------------------------------------------------
+
+def _transcript_fixture(spark):
+    import datetime as dt
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = []
+
+    def add(conv, toks, bad_ts=False):
+        for i, t in enumerate(toks):
+            ts = T0 + dt.timedelta(minutes=(len(toks) - i) if bad_ts else i)
+            rows.append((conv, i, t, ts))
+
+    toks = [f"t{i}" for i in range(20)]
+    add("A", toks)
+    add("B", toks)                                  # exact dup of A
+    add("C", toks[:10] + ["XX"] + toks[11:])        # near-dup: 1 of 20 turns edited
+    add("U", ["x", "q"] * 5, bad_ts=True)           # bad first + transitions + regressions
+    add("E", ["s"] + ["c", "d"] * 8)                # healthy, disjoint
+    return spark.createDataFrame(rows, "conv string, idx int, tok string, ts timestamp")
+
+
+def test_clean_transcripts_stages(spark):
+    from cerberus_spark.corpus import clean_transcripts
+
+    df = _transcript_fixture(spark)
+    # the t9->XX->t11 bridge keeps C healthy, so it reaches the dedup stage
+    allowed = (
+        {(f"t{i}", f"t{i+1}") for i in range(19)}
+        | {("t9", "XX"), ("XX", "t11")}
+        | {("s", "c"), ("c", "d"), ("d", "c")}
+    )
+    out = clean_transcripts(df, "conv", ["idx"], "tok", "ts", allowed,
+                            allowed_first={"s", "t0"}, bucket_cap=8, threshold=0.5)
+    rep = {(r.stage, r.reason): r.n_convs for r in out["report"].collect()}
+    assert rep[("near_dup", "cluster_loser")] == 2        # B and C lose to A
+    assert rep[("kept", "survivor")] == 2                 # A and E survive
+    assert rep[("health", "first_state")] == 1            # U
+    assert ("health", "transition") in rep and rep[("health", "transition")] == 1
+    dropped = {(r.conv, r.stage, r.reason) for r in out["dropped"].collect()}
+    assert ("B", "near_dup", "cluster_loser") in dropped
+    assert ("C", "near_dup", "cluster_loser") in dropped
+    assert ("U", "health", "ts_regression") in dropped
+    kept_convs = {r.conv for r in out["kept"].select("conv").distinct().collect()}
+    assert kept_convs == {"A", "E"}
+    # self-accounting: unhealthy + losers + kept == |convs|
+    n_unhealthy = len({c for c, s, _ in dropped if s == "health"})
+    assert n_unhealthy + rep[("near_dup", "cluster_loser")] + rep[("kept", "survivor")] == 5
+    # kept turns carry every input column
+    assert set(out["kept"].columns) == set(df.columns)
