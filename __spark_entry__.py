@@ -1805,6 +1805,36 @@ def q_conv_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
+def q_transcript_clean_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end transcript cleaning (corpus.clean_transcripts): the
+    (user, day) conversation stream is health-gated (any sequence
+    violation — transition grammar / NULL state / ts regression /
+    first state — quarantines the conversation whole), the HEALTHY
+    remainder near-deduped (sequence MinHash -> LSH banding ->
+    Jaccard >= 0.5 -> CC survivorship), and the self-accounting
+    (stage, reason, n_convs) report returned: drop causes plus a
+    ('kept', 'survivor') row, so distinct-unhealthy + losers + kept
+    = |conversations|.  One composition, one lazy plan — each stage
+    is its own already-gated pair (sequence_violations, conv_minhash,
+    conv_jaccard, conv_clusters); this pair proves the composition."""
+    from cerberus_spark.corpus import clean_transcripts
+
+    out = clean_transcripts(
+        _conv_keyed_events(spark, sf_dir),
+        "conv_key",
+        ["ts", "event_id"],
+        "event_type",
+        "ts",
+        set(SEQ_ALLOWED),
+        set(SEQ_ALLOWED_FIRST),
+        bands=4,
+        rows_per_band=4,
+        bucket_cap=8,
+        threshold=0.5,
+    )
+    return out["report"]
+
+
 def q_leak_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: near-duplicate documents
     (MinHash LSH pairs -> connected components) share a duplicate
@@ -2646,11 +2676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Tail: r4-gated pairs on since-unchanged code, the 21 stale
         # pairs that did not fit (they remain locally green at three
         # SFs via scripts/oracle_check.py), then TPC-H stalwarts.
-        # (r5 late additions, never gated: conversation-level NEAR dedup)
+        # (r5 late additions, never gated: conversation-level NEAR
+        # dedup + the clean_transcripts composition pair)
         "conv_minhash": q_conv_minhash,
         "conv_neardup": q_conv_neardup,
         "conv_jaccard": q_conv_jaccard,
         "conv_clusters": q_conv_clusters,
+        "transcript_clean_report": q_transcript_clean_report,
         "sequence_dups": q_sequence_dups,
         "cluster_reps": q_cluster_reps,
         "null_rate_drift": q_null_rate_drift,
@@ -4808,6 +4840,73 @@ FROM o WHERE ts < prev_ts
 UNION ALL
 SELECT user_id, event_id, event_type, prev_state, 'first_state' AS rule
 FROM o WHERE rn = 1 AND event_type NOT IN ({seq_first})
+"""
+    # transcript_clean_report: the sequence-violations twin keyed by
+    # (user, day) conversation feeds a healthy-only filter into the
+    # SHARED conv signature chain (conv_sig_cte with the WHERE spliced
+    # into its t CTE — exact-text replace, so the signature math can
+    # never drift from the conv_minhash/conv_jaccard pairs), then the
+    # verified clusters' non-survivors and the kept census roll up to
+    # (stage, reason, n_convs).  Spark's report has a near_dup row only
+    # when losers exist (groupBy emits nothing on empty), hence HAVING.
+    healthy_sig_ctes = conv_sig_cte.replace("WITH t AS", "t AS").replace(
+        "  FROM events\n), sh AS",
+        "  FROM events\n  WHERE key NOT IN (SELECT conv FROM unhealthy)\n), sh AS",
+    )
+    assert "unhealthy" in healthy_sig_ctes, "conv_sig_cte splice drifted"
+    out["transcript_clean_report"] = f"""
+WITH RECURSIVE o AS (
+  SELECT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS key,
+         event_type, ts,
+         lag(event_type) OVER w AS prev_state,
+         lag(ts) OVER w AS prev_ts,
+         row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY CAST(user_id AS VARCHAR) || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR)
+               ORDER BY ts, event_id)
+), vio AS (
+  SELECT DISTINCT key AS conv, 'transition' AS reason FROM o
+  WHERE prev_state IS NOT NULL AND event_type IS NOT NULL
+    AND (prev_state || chr(31) || event_type) NOT IN ({seq_allowed})
+  UNION
+  SELECT DISTINCT key, 'null_state' FROM o WHERE event_type IS NULL
+  UNION
+  SELECT DISTINCT key, 'ts_regression' FROM o WHERE ts < prev_ts
+  UNION
+  SELECT DISTINCT key, 'first_state' FROM o
+  WHERE rn = 1 AND event_type NOT IN ({seq_first})
+), unhealthy AS (SELECT DISTINCT conv FROM vio),
+{healthy_sig_ctes},
+{conv_verify_ctes},
+jpairs AS (
+  SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5
+),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM jpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM jpairs
+),
+reach(id, lbl) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.a, r.lbl FROM sym s JOIN reach r ON s.b = r.id
+),
+cc AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+losers AS (SELECT id AS conv FROM cc WHERE id <> cluster_id),
+keptc AS (
+  SELECT conv FROM (
+    SELECT DISTINCT CAST(user_id AS VARCHAR) || '|' || CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS conv
+    FROM events
+  )
+  WHERE conv NOT IN (SELECT conv FROM unhealthy)
+    AND conv NOT IN (SELECT conv FROM losers)
+)
+SELECT 'health' AS stage, reason, count(*)::BIGINT AS n_convs FROM vio GROUP BY 1, 2
+UNION ALL
+SELECT 'near_dup' AS stage, 'cluster_loser' AS reason, count(*)::BIGINT AS n_convs
+FROM losers HAVING count(*) > 0
+UNION ALL
+SELECT 'kept' AS stage, 'survivor' AS reason, count(*)::BIGINT AS n_convs FROM keptc
 """
     nr_cols = NULL_DRIFT_COLS
     nr_b = ", ".join(
