@@ -1,0 +1,125 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the transcript-cleaning pipeline
+(conversation health gate → conversation near-dedup survivorship):
+
+    spark-submit --master <cluster> --py-files dist/cerberus_spark.zip \
+        jobs/transcript_job.py --input <turns parquet> --sink <out dir> \
+        --grammar grammar.json --conv-col conv_id --order-cols turn_idx \
+        --state-col role --ts-col ts
+
+``--grammar`` is a JSON file describing the sequence contract::
+
+    {"allowed": [["user", "assistant"], ["assistant", "user"]],
+     "allowed_first": ["user", "system"]}
+
+(``allowed_first`` optional — omit to accept any opening state).
+
+Writes ``<sink>/kept`` (surviving turns, all input columns),
+``<sink>/dropped`` (conv, stage, reason) and ``<sink>/report``
+(stage, reason, n_convs — self-accounting: distinct unhealthy +
+cluster losers + kept survivors = |conversations|), and prints one
+JSON status line with the conversation-level tallies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def _load_grammar(path: str) -> tuple[set[tuple[str, str]], set[str] | None]:
+    with open(path) as fh:
+        g = json.load(fh)
+    try:
+        allowed = {(str(a), str(b)) for a, b in g["allowed"]}
+    except (KeyError, TypeError, ValueError) as exc:
+        raise SystemExit(
+            f"--grammar {path}: 'allowed' must be a list of [from, to] pairs: {exc}"
+        )
+    first = g.get("allowed_first")
+    return allowed, (None if first is None else {str(s) for s in first})
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet dir of transcript turns")
+    p.add_argument("--sink", required=True, help="output dir (kept/dropped/report)")
+    p.add_argument("--grammar", required=True,
+                   help="JSON file: {allowed: [[from, to], ...], allowed_first: [...]}")
+    p.add_argument("--conv-col", default="conv_id")
+    p.add_argument("--order-cols", default="turn_idx",
+                   help="comma-separated within-conversation sort keys")
+    p.add_argument("--state-col", default="role",
+                   help="column the transition grammar runs over")
+    p.add_argument("--ts-col", default="ts",
+                   help="timestamp column for the monotonicity rule")
+    p.add_argument("--token-col", default=None,
+                   help="column the near-dup shingles hash (default: state col)")
+    p.add_argument("--num-hashes", type=int, default=16)
+    p.add_argument("--shingle-k", type=int, default=2,
+                   help="turn-level shingle size (1 = order-insensitive bag)")
+    p.add_argument("--bands", type=int, default=4)
+    p.add_argument("--rows-per-band", type=int, default=4)
+    p.add_argument("--bucket-cap", type=int, default=200,
+                   help="LSH band-bucket cap (degenerate-corpus guard; capped "
+                   "buckets drop whole — visible in candidate counts, never silent)")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="exact-Jaccard verify threshold (must be > 0)")
+    p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
+    args = p.parse_args(argv)
+
+    allowed, allowed_first = _load_grammar(args.grammar)
+
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from cerberus_spark.session import get_spark
+
+        spark = get_spark(parallelism=args.parallelism, app_name="cerberus_transcripts")
+
+    from cerberus_spark.corpus import clean_transcripts
+
+    turns = spark.read.parquet(args.input)
+    outs = clean_transcripts(
+        turns,
+        args.conv_col,
+        [c for c in args.order_cols.split(",") if c],
+        args.state_col,
+        args.ts_col,
+        allowed,
+        allowed_first,
+        token_col=args.token_col,
+        num_hashes=args.num_hashes,
+        shingle_k=args.shingle_k,
+        bands=args.bands,
+        rows_per_band=args.rows_per_band,
+        bucket_cap=args.bucket_cap,
+        threshold=args.threshold,
+    )
+    outs["kept"].write.mode("overwrite").parquet(f"{args.sink}/kept")
+    outs["dropped"].write.mode("overwrite").parquet(f"{args.sink}/dropped")
+    outs["report"].write.mode("overwrite").parquet(f"{args.sink}/report")
+
+    from pyspark.sql import functions as F
+
+    rep = spark.read.parquet(f"{args.sink}/report")
+    tallies = {
+        f"{r.stage}:{r.reason}": r.n_convs
+        for r in rep.orderBy("stage", "reason").collect()
+    }
+    n_convs = turns.select(F.col(args.conv_col)).distinct().count()
+    print(json.dumps({"status": "ok", "n_convs": n_convs, "report": tallies}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -368,3 +368,52 @@ def test_clean_transcripts_stages(spark):
     assert n_unhealthy + rep[("near_dup", "cluster_loser")] + rep[("kept", "survivor")] == 5
     # kept turns carry every input column
     assert set(out["kept"].columns) == set(df.columns)
+
+
+def test_transcript_job_cli(spark, tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.transcript_job import main
+
+    df = _transcript_fixture(spark)
+    inp = str(tmp_path / "turns")
+    df.write.mode("overwrite").parquet(inp)
+    grammar = tmp_path / "grammar.json"
+    grammar.write_text(json.dumps({
+        "allowed": (
+            [[f"t{i}", f"t{i+1}"] for i in range(19)]
+            + [["t9", "XX"], ["XX", "t11"], ["s", "c"], ["c", "d"], ["d", "c"]]
+        ),
+        "allowed_first": ["s", "t0"],
+    }))
+    sink = str(tmp_path / "out")
+    rc = main(["--input", inp, "--sink", sink, "--grammar", str(grammar),
+               "--conv-col", "conv", "--order-cols", "idx",
+               "--state-col", "tok", "--ts-col", "ts",
+               "--bucket-cap", "8"])
+    assert rc == 0
+    kept = spark.read.parquet(f"{sink}/kept")
+    assert {r.conv for r in kept.select("conv").distinct().collect()} == {"A", "E"}
+    assert set(kept.columns) == set(df.columns)
+    rep = {(r.stage, r.reason): r.n_convs
+           for r in spark.read.parquet(f"{sink}/report").collect()}
+    assert rep[("near_dup", "cluster_loser")] == 2
+    assert rep[("kept", "survivor")] == 2
+    dropped = spark.read.parquet(f"{sink}/dropped")
+    assert dropped.filter(
+        (F.col("conv") == "U") & (F.col("stage") == "health")
+    ).count() >= 2
+
+
+def test_transcript_job_cli_bad_grammar(tmp_path):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.transcript_job import main
+
+    grammar = tmp_path / "grammar.json"
+    grammar.write_text('{"allowed": "user->assistant"}')
+    with pytest.raises(SystemExit):
+        main(["--input", "x", "--sink", "y", "--grammar", str(grammar)])
