@@ -431,6 +431,13 @@ def clean_transcripts(
       conv under EVERY rule it violates, so sum the distinct-conv
       stage totals, not the per-reason rows).
 
+    NULL conversation keys: the verdict anti-joins use plain (not
+    NULL-safe) equality, so a NULL-keyed turn can never be quarantined
+    or deduped — it always survives to ``kept`` and counts as one
+    survivor conversation.  Validate/repair NULL keys upstream (the
+    rule compiler's ``required`` does exactly this) if that is not the
+    intent.
+
     Scale shape: one window pass over the corpus (health), one
     |turns|-keyed distinct for the conversation census, the capped
     near-dup chain over the healthy slice, and |convs|-sized joins for
