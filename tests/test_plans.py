@@ -505,3 +505,33 @@ def test_sequence_minhash_single_shuffle_reuses_window_partitioning(spark):
     assert n_exchanges(plan) == 1, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert node not in plan, plan
+
+
+def test_clean_transcripts_report_plan_shape(spark):
+    """The full transcript-cleaning composition (health gate ->
+    conversation near-dedup -> report) must stay join-safe end to end:
+    no cartesian/nested-loop join anywhere, exactly ONE Window pass in
+    the lazy report plan (the near-dup chain's shingle lag window is
+    materialized inside iterative connected components before the
+    report is built, so only the health pass remains live — one
+    corpus-sized sort), and all-JVM expressions (no Python eval
+    nodes)."""
+    import datetime as dt
+
+    from cerberus_spark.corpus import clean_transcripts
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = [("A", i, "a" if i % 2 else "b", T0 + dt.timedelta(minutes=i))
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "conv string, idx int, tok string, ts timestamp")
+    out = clean_transcripts(
+        df, "conv", ["idx"], "tok", "ts",
+        {("a", "b"), ("b", "a")}, {"b"},
+    )
+    plan = plan_of(out["report"])
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "FlatMapGroupsInPandas"):
+        assert node not in plan, plan
