@@ -503,3 +503,56 @@ def clean_transcripts(
         )
     )
     return {"kept": kept, "dropped": dropped, "report": report}
+
+
+def ingest_transcript_increment(batch: DataFrame, work_dir: str) -> None:
+    """Incremental-ingest half of the transcript pipeline: append one
+    micro-batch of turns to ``<work_dir>/turns``.
+
+    Deliberately storage-only — unlike :func:`ingest_corpus_increment`
+    (whose normalize / quality-gate / fingerprint / signature stages
+    are all PER-DOCUMENT and therefore safely incremental), every
+    transcript-cleaning stage is CONVERSATION-level and a conversation
+    can span micro-batches: a turn's bigram shingle needs its ordered
+    neighbor (which may arrive in a later batch), the health gate
+    judges whole sequences, and survivorship needs the full
+    conversation census.  Precomputing any of those per batch would
+    bake in batch boundaries and break the replay ≡ batch guarantee,
+    so the conversation stages all run in :func:`compact_transcripts`.
+
+    foreachBatch is at-least-once on retry; production appends should
+    be keyed by batchId (idempotent overwrite of a batch partition) —
+    driver restart semantics are sink policy, not pipeline logic.
+    """
+    import os
+
+    batch.write.mode("append").parquet(os.path.join(work_dir, "turns"))
+
+
+def compact_transcripts(
+    spark,
+    work_dir: str,
+    conv_col: str,
+    order_cols: list[str],
+    state_col: str,
+    ts_col: str,
+    allowed: set[tuple[str, str]],
+    allowed_first: set[str] | None = None,
+    **clean_kwargs,
+) -> dict[str, DataFrame]:
+    """Conversation-level half of the incremental transcript pipeline:
+    :func:`clean_transcripts` over the turns accumulated by
+    :func:`ingest_transcript_increment`.  Same ``{kept, dropped,
+    report}`` contract; for the same total input the same rows — no
+    per-turn state was precomputed at ingest, so micro-batch slicing
+    cannot influence any conversation-level decision (test:
+    ``test_incremental_transcripts_match_batch``).  Run after ingest
+    completes (availableNow) or on a schedule (outputs are snapshots
+    of the corpus ingested so far)."""
+    import os
+
+    turns = spark.read.parquet(os.path.join(work_dir, "turns"))
+    return clean_transcripts(
+        turns, conv_col, order_cols, state_col, ts_col,
+        allowed, allowed_first, **clean_kwargs,
+    )

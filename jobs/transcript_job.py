@@ -71,6 +71,16 @@ def main(argv: list[str] | None = None) -> int:
                    "buckets drop whole — visible in candidate counts, never silent)")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="exact-Jaccard verify threshold (must be > 0)")
+    p.add_argument("--incremental", action="store_true",
+                   help="stream --input via availableNow into --work-dir "
+                   "(append-only turn ingest), then run the conversation "
+                   "stages once at compaction (same results as batch mode "
+                   "— tested; no per-turn state is precomputed, so "
+                   "micro-batch boundaries cannot leak into decisions)")
+    p.add_argument("--work-dir", default=None,
+                   help="incremental-mode turn store (default <sink>/_work)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None,
+                   help="incremental-mode micro-batch size in input files")
     p.add_argument("--parallelism", type=int, default=None, help="local[..] only")
     args = p.parse_args(argv)
 
@@ -89,14 +99,7 @@ def main(argv: list[str] | None = None) -> int:
     from cerberus_spark.corpus import clean_transcripts
 
     turns = spark.read.parquet(args.input)
-    outs = clean_transcripts(
-        turns,
-        args.conv_col,
-        [c for c in args.order_cols.split(",") if c],
-        args.state_col,
-        args.ts_col,
-        allowed,
-        allowed_first,
+    clean_kwargs = dict(
         token_col=args.token_col,
         num_hashes=args.num_hashes,
         shingle_k=args.shingle_k,
@@ -105,6 +108,42 @@ def main(argv: list[str] | None = None) -> int:
         bucket_cap=args.bucket_cap,
         threshold=args.threshold,
     )
+    order_cols = [c for c in args.order_cols.split(",") if c]
+    if args.incremental:
+        from cerberus_spark.corpus import (
+            compact_transcripts,
+            ingest_transcript_increment,
+        )
+
+        work = args.work_dir or f"{args.sink}/_work"
+        reader = spark.readStream.schema(turns.schema)
+        if args.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        q = (
+            reader.parquet(args.input)
+            .writeStream.foreachBatch(
+                lambda b, _bid: ingest_transcript_increment(b, work)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        outs = compact_transcripts(
+            spark, work, args.conv_col, order_cols,
+            args.state_col, args.ts_col, allowed, allowed_first,
+            **clean_kwargs,
+        )
+    else:
+        outs = clean_transcripts(
+            turns,
+            args.conv_col,
+            order_cols,
+            args.state_col,
+            args.ts_col,
+            allowed,
+            allowed_first,
+            **clean_kwargs,
+        )
     outs["kept"].write.mode("overwrite").parquet(f"{args.sink}/kept")
     outs["dropped"].write.mode("overwrite").parquet(f"{args.sink}/dropped")
     outs["report"].write.mode("overwrite").parquet(f"{args.sink}/report")

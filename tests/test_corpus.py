@@ -417,3 +417,81 @@ def test_transcript_job_cli_bad_grammar(tmp_path):
     grammar.write_text('{"allowed": "user->assistant"}')
     with pytest.raises(SystemExit):
         main(["--input", "x", "--sink", "y", "--grammar", str(grammar)])
+
+
+def test_incremental_transcripts_match_batch(spark, tmp_path):
+    """Streaming turn ingest (availableNow, one file per trigger —
+    conversations deliberately SPLIT across micro-batches) then
+    compact must equal one-shot clean_transcripts exactly: ingest
+    precomputes nothing per-turn, so batch slicing cannot leak into
+    any conversation-level decision."""
+    from cerberus_spark.corpus import (
+        clean_transcripts,
+        compact_transcripts,
+        ingest_transcript_increment,
+    )
+
+    df = _transcript_fixture(spark)
+    allowed = (
+        {(f"t{i}", f"t{i+1}") for i in range(19)}
+        | {("t9", "XX"), ("XX", "t11")}
+        | {("s", "c"), ("c", "d"), ("d", "c")}
+    )
+    kw = dict(allowed_first={"s", "t0"}, bucket_cap=8, threshold=0.5)
+    batch = clean_transcripts(df, "conv", ["idx"], "tok", "ts", allowed, **kw)
+    b_kept = sorted((r.conv, r.idx) for r in batch["kept"].collect())
+    b_dropped = {(r.conv, r.stage, r.reason) for r in batch["dropped"].collect()}
+    b_report = {(r.stage, r.reason, r.n_convs) for r in batch["report"].collect()}
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    # 4 files, ordered turns interleaved: every conversation spans files
+    df.repartition(4).write.parquet(src)
+    q = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(
+            lambda b, _bid: ingest_transcript_increment(b, work)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    inc = compact_transcripts(
+        spark, work, "conv", ["idx"], "tok", "ts", allowed, **kw
+    )
+    assert sorted((r.conv, r.idx) for r in inc["kept"].collect()) == b_kept
+    assert {(r.conv, r.stage, r.reason) for r in inc["dropped"].collect()} == b_dropped
+    assert {(r.stage, r.reason, r.n_convs) for r in inc["report"].collect()} == b_report
+
+
+def test_transcript_job_cli_incremental(spark, tmp_path):
+    """--incremental CLI path: stream-ingest + compact writes the same
+    sink layout and keeps the same conversations as batch mode."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.transcript_job import main
+
+    df = _transcript_fixture(spark)
+    inp = str(tmp_path / "turns")
+    df.repartition(3).write.parquet(inp)
+    grammar = tmp_path / "grammar.json"
+    grammar.write_text(json.dumps({
+        "allowed": (
+            [[f"t{i}", f"t{i+1}"] for i in range(19)]
+            + [["t9", "XX"], ["XX", "t11"], ["s", "c"], ["c", "d"], ["d", "c"]]
+        ),
+        "allowed_first": ["s", "t0"],
+    }))
+    sink = str(tmp_path / "out")
+    rc = main(["--input", inp, "--sink", sink, "--grammar", str(grammar),
+               "--conv-col", "conv", "--order-cols", "idx",
+               "--state-col", "tok", "--ts-col", "ts", "--bucket-cap", "8",
+               "--incremental", "--max-files-per-trigger", "1"])
+    assert rc == 0
+    kept = spark.read.parquet(f"{sink}/kept")
+    assert {r.conv for r in kept.select("conv").distinct().collect()} == {"A", "E"}
