@@ -471,6 +471,7 @@ def clean_transcripts(
     pairs = sequence_neardup_pairs(
         healthy_turns, conv_col, order_cols, token_col,
         num_hashes, shingle_k, bands, rows_per_band, bucket_cap, threshold,
+        share_shingles=checkpoint_stages,
     )
     losers = dedup_clusters(pairs).filter(~F.col("keep")).select(
         F.col("id").alias("conv")

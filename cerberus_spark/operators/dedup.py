@@ -1015,32 +1015,56 @@ def sequence_neardup_pairs(
     rows_per_band: int = 4,
     bucket_cap: int | None = None,
     threshold: float = 0.5,
+    share_shingles: bool = True,
 ) -> DataFrame:
-    """VERIFIED conversation near-dup pairs: LSH candidates
-    (:func:`sequence_neardup_candidates`) re-scored with the EXACT
-    Jaccard similarity of the two conversations' distinct shingle-hash
-    sets, kept at ``jaccard >= threshold``.  Output: (id_a, id_b,
-    jaccard) — the conversation twin of :func:`ngram_jaccard_pairs`'
-    candidate->verify contract: banding recalls, Jaccard decides.
+    """VERIFIED conversation near-dup pairs: LSH candidates re-scored
+    with the EXACT Jaccard similarity of the two conversations'
+    distinct shingle-hash sets, kept at ``jaccard >= threshold``.
+    Output: (id_a, id_b, jaccard) — the conversation twin of
+    :func:`ngram_jaccard_pairs`' candidate->verify contract: banding
+    recalls, Jaccard decides.
 
-    Scale shape: the candidate pass is the banded bucket join (capped
-    via ``bucket_cap``); the verify pass joins the candidate pairs to
-    the distinct shingle rows TWICE on the conversation key (shuffle
-    volume = |candidates| x avg shingles — bounded by the cap, never
-    all-pairs) and counts shared hashes per pair.  Jaccard is rounded
-    to 6 places before the threshold so the cross-engine float compare
-    is exact.  ``threshold`` must be > 0: pairs sharing NO shingle
-    drop out of the inner join (their Jaccard is 0 by definition).
+    Scale shape: ONE corpus scan + ONE lag-window pass total.  The
+    candidate signatures AND the verify shingle sets both derive from
+    the same distinct-shingle frame (MinHash minima are set
+    functions, so signing the distinct set is bit-identical to
+    signing the multiset — same candidates, same Jaccard), and with
+    ``share_shingles`` (default) that frame is lazily
+    ``localCheckpoint``-ed so its four consumers (signatures, sizes,
+    and the two verify probes) read ONE materialization instead of
+    re-running the scan+window per branch (measured 5 scans / 5
+    window sorts in the naive plan).  The materialized rows are
+    (key, hash) longs only — no text — so executor-local storage is
+    a small fraction of corpus size; pass ``share_shingles=False``
+    to trade recompute for zero caching.  The candidate pass is the
+    banded bucket join (capped via ``bucket_cap``); the verify pass
+    joins the candidate pairs to the shingle rows TWICE on the
+    conversation key (shuffle volume = |candidates| x avg shingles —
+    bounded by the cap, never all-pairs) and counts shared hashes per
+    pair.  Jaccard is rounded to 6 places before the threshold so the
+    cross-engine float compare is exact.  ``threshold`` must be > 0:
+    pairs sharing NO shingle drop out of the inner join (their
+    Jaccard is 0 by definition).
     """
     if threshold <= 0:
         raise ValueError("sequence_neardup_pairs: threshold must be > 0")
-    cand = sequence_neardup_candidates(
-        df, key_col, order_cols, token_col,
-        num_hashes, shingle_k, bands, rows_per_band, bucket_cap,
-    ).select("id_a", "id_b")
     sh = _sequence_shingle_hashes(
         df, key_col, order_cols, token_col, shingle_k
     ).distinct()
+    if share_shingles:
+        sh = sh.localCheckpoint(eager=False)
+    h = F.col("__h")
+    sig_aggs = [
+        F.min(F.pmod(h * F.lit(ca) + F.lit(cb), F.lit(MINHASH_P))).alias(f"__s{j}")
+        for j, (ca, cb) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sigs = sh.groupBy("key").agg(*sig_aggs).select(
+        "key",
+        F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"),
+    )
+    cand = minhash_dup_candidates(
+        sigs, "key", bands, rows_per_band, bucket_cap
+    ).select("id_a", "id_b")
     sizes = sh.groupBy("key").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("key").alias("id_a"), F.col("__h"))
     b = sh.select(F.col("key").alias("id_b"), F.col("__h"))

@@ -507,6 +507,30 @@ def test_sequence_minhash_single_shuffle_reuses_window_partitioning(spark):
         assert node not in plan, plan
 
 
+def test_sequence_neardup_pairs_shares_one_shingle_pass(spark):
+    """The candidate->verify chain must derive its four shingle
+    consumers (signatures, sizes, two verify probes) from ONE
+    materialized distinct-shingle frame: with share_shingles (the
+    default) the live plan contains ZERO Window nodes — the corpus
+    scan + lag-window pass runs once, inside the checkpoint
+    materialization — where the naive recompute mode plans the window
+    once per consumer (5x corpus scans measured)."""
+    from cerberus_spark.operators.dedup import sequence_neardup_pairs
+
+    df = spark.createDataFrame(
+        [("A", i, f"x{i % 3}") for i in range(4)],
+        "key string, pos int, tok string",
+    )
+    shared = plan_of(sequence_neardup_pairs(df, "key", ["pos"], "tok"))
+    assert len(re.findall(r"\(\d+\) Window", shared)) == 0, shared
+    assert "CartesianProduct" not in shared, shared
+    assert "BroadcastNestedLoopJoin" not in shared, shared
+    naive = plan_of(
+        sequence_neardup_pairs(df, "key", ["pos"], "tok", share_shingles=False)
+    )
+    assert len(re.findall(r"\(\d+\) Window", naive)) >= 2, naive
+
+
 def test_clean_transcripts_report_plan_shape(spark):
     """The full transcript-cleaning composition (health gate ->
     conversation near-dedup -> report) must stay join-safe end to end:
