@@ -402,10 +402,19 @@ def clean_transcripts(
     bucket_cap: int | None = 200,
     threshold: float = 0.5,
     checkpoint_stages: bool = True,
+    survivor_policy: str = "min_id",
 ) -> dict[str, DataFrame]:
     """Transcript twin of :func:`clean_corpus`, at CONVERSATION
     granularity: health-gate -> conversation near-dedup -> keep/drop
     report, every stage an already oracle-gated operator.
+
+    ``survivor_policy`` picks which member of every near-dup cluster
+    keeps, mirroring :func:`clean_corpus`: ``"min_id"`` (default —
+    positional min conversation key, ``dedup_clusters``' flag) or
+    ``"longest"`` (the conversation with the MOST TURNS survives, ties
+    to min key — via :func:`cluster_representatives`; costs one extra
+    per-conversation turn count, a map-side-combined |convs|-row
+    shuffle, only on this path).
 
     - stage 1 **health**: conversations with ANY sequence-structure
       violation (``checks.sequence.sequence_violations`` — transition
@@ -438,13 +447,17 @@ def clean_transcripts(
     rule compiler's ``required`` does exactly this) if that is not the
     intent.
 
-    Scale shape: one window pass over the corpus (health), one
+    Scale shape: ONE window pass over the corpus (health), one
     |turns|-keyed distinct for the conversation census, the capped
     near-dup chain over the healthy slice, and |convs|-sized joins for
     the verdicts; ``checkpoint_stages`` localCheckpoints the
-    |convs|-sized unhealthy set because the lineage below branches
-    three ways (healthy filter, dropped rows, kept count) — without it
-    the window pass re-executes per branch.
+    |violations|-sized health-drop frame because the lineage below
+    branches FOUR ways (healthy filter, dropped rows, report counts,
+    kept-conv census) — checkpointing at the drop rows (rather than
+    the distinct-conv set derived from them) means every branch,
+    including the ``dropped``/``report`` outputs, reads the single
+    materialized window result instead of re-running the corpus sort
+    per consumer.
     """
     from cerberus_spark.checks.sequence import sequence_violations
     from cerberus_spark.operators.dedup import sequence_neardup_pairs
@@ -460,9 +473,9 @@ def clean_transcripts(
     dropped_health = vio.select(conv, "rule").distinct().select(
         "conv", F.lit("health").alias("stage"), F.col("rule").alias("reason")
     )
-    unhealthy = dropped_health.select("conv").distinct()
     if checkpoint_stages:
-        unhealthy = unhealthy.localCheckpoint(eager=False)
+        dropped_health = dropped_health.localCheckpoint(eager=False)
+    unhealthy = dropped_health.select("conv").distinct()
     healthy_turns = turns.join(
         unhealthy, turns[conv_col] == unhealthy["conv"], "left_anti"
     )
@@ -473,9 +486,24 @@ def clean_transcripts(
         num_hashes, shingle_k, bands, rows_per_band, bucket_cap, threshold,
         share_shingles=checkpoint_stages,
     )
-    losers = dedup_clusters(pairs).filter(~F.col("keep")).select(
-        F.col("id").alias("conv")
-    )
+    clusters = dedup_clusters(pairs)
+    if survivor_policy == "longest":
+        from cerberus_spark.operators.graph import cluster_representatives
+
+        sizes = healthy_turns.groupBy(F.col(conv_col)).agg(
+            F.count(F.lit(1)).alias("__q")
+        )
+        reps = cluster_representatives(
+            clusters.select("id", "cluster_id"), sizes, conv_col, "__q"
+        )
+        loser_rows = clusters.join(
+            reps.select("cluster_id", "rep_id"), "cluster_id"
+        ).filter(F.col("id") != F.col("rep_id"))
+    elif survivor_policy == "min_id":
+        loser_rows = clusters.filter(~F.col("keep"))
+    else:
+        raise ValueError(f"unknown survivor_policy: {survivor_policy!r}")
+    losers = loser_rows.select(F.col("id").alias("conv"))
     if checkpoint_stages:
         losers = losers.localCheckpoint(eager=False)
     dropped_dup = losers.select(

@@ -71,6 +71,10 @@ def main(argv: list[str] | None = None) -> int:
                    "buckets drop whole — visible in candidate counts, never silent)")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="exact-Jaccard verify threshold (must be > 0)")
+    p.add_argument("--survivor-policy", default="min_id",
+                   choices=("min_id", "longest"),
+                   help="which cluster member keeps: positional min "
+                   "conversation key, or the conversation with the most turns")
     p.add_argument("--incremental", action="store_true",
                    help="stream --input via availableNow into --work-dir "
                    "(append-only turn ingest), then run the conversation "
@@ -107,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
         rows_per_band=args.rows_per_band,
         bucket_cap=args.bucket_cap,
         threshold=args.threshold,
+        survivor_policy=args.survivor_policy,
     )
     order_cols = [c for c in args.order_cols.split(",") if c]
     if args.incremental:

@@ -370,6 +370,36 @@ def test_clean_transcripts_stages(spark):
     assert set(out["kept"].columns) == set(df.columns)
 
 
+def test_clean_transcripts_survivor_policy_longest(spark):
+    """survivor_policy="longest" keeps the cluster member with the
+    MOST TURNS (ties to min key) instead of the positional min key —
+    the same explicit-quality contract clean_corpus exposes."""
+    import datetime as dt
+
+    from cerberus_spark.corpus import clean_transcripts
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for conv, n in (("A", 20), ("B", 21)):   # B = A + one appended turn
+        for i in range(n):
+            rows.append((conv, i, f"t{i}", T0 + dt.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, "conv string, idx int, tok string, ts timestamp")
+    allowed = {(f"t{i}", f"t{i+1}") for i in range(20)}
+    kw = dict(allowed_first={"t0"}, bucket_cap=8, threshold=0.5)
+
+    by_min = clean_transcripts(df, "conv", ["idx"], "tok", "ts", allowed, **kw)
+    assert {r.conv for r in by_min["kept"].select("conv").distinct().collect()} == {"A"}
+
+    by_len = clean_transcripts(df, "conv", ["idx"], "tok", "ts", allowed,
+                               survivor_policy="longest", **kw)
+    assert {r.conv for r in by_len["kept"].select("conv").distinct().collect()} == {"B"}
+    assert [(r.conv, r.stage) for r in by_len["dropped"].collect()] == [("A", "near_dup")]
+
+    with pytest.raises(ValueError, match="survivor_policy"):
+        clean_transcripts(df, "conv", ["idx"], "tok", "ts", allowed,
+                          survivor_policy="best", **kw)
+
+
 def test_transcript_job_cli(spark, tmp_path):
     import json
     import sys

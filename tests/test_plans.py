@@ -534,12 +534,12 @@ def test_sequence_neardup_pairs_shares_one_shingle_pass(spark):
 def test_clean_transcripts_report_plan_shape(spark):
     """The full transcript-cleaning composition (health gate ->
     conversation near-dedup -> report) must stay join-safe end to end:
-    no cartesian/nested-loop join anywhere, exactly ONE Window pass in
-    the lazy report plan (the near-dup chain's shingle lag window is
-    materialized inside iterative connected components before the
-    report is built, so only the health pass remains live — one
-    corpus-sized sort), and all-JVM expressions (no Python eval
-    nodes)."""
+    no cartesian/nested-loop join anywhere, ZERO Window passes in the
+    lazy report plan (the health window runs ONCE inside the
+    checkpointed health-drop frame and the near-dup shingle window
+    once inside the shared-shingle checkpoint, so no consumer —
+    dropped, report, kept — re-runs a corpus-sized sort), and all-JVM
+    expressions (no Python eval nodes)."""
     import datetime as dt
 
     from cerberus_spark.corpus import clean_transcripts
@@ -555,7 +555,7 @@ def test_clean_transcripts_report_plan_shape(spark):
     plan = plan_of(out["report"])
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 0, plan
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                  "FlatMapGroupsInPandas"):
         assert node not in plan, plan
