@@ -400,6 +400,31 @@ def test_clean_transcripts_survivor_policy_longest(spark):
                           survivor_policy="best", **kw)
 
 
+def test_clean_transcripts_partition_invariance(spark):
+    """The full composition (health window -> shared-shingle near-dedup
+    -> checkpointed verdicts) must produce identical reports and
+    survivors regardless of input partitioning — the md5-determinism
+    discipline survives the localCheckpoint materializations."""
+    from cerberus_spark.corpus import clean_transcripts
+
+    df = _transcript_fixture(spark)
+    allowed = (
+        {(f"t{i}", f"t{i+1}") for i in range(19)}
+        | {("t9", "XX"), ("XX", "t11")}
+        | {("s", "c"), ("c", "d"), ("d", "c")}
+    )
+    kw = dict(allowed_first={"s", "t0"}, bucket_cap=8, threshold=0.5)
+    outs = [
+        clean_transcripts(d, "conv", ["idx"], "tok", "ts", allowed, **kw)
+        for d in (df, df.repartition(7), df.repartition(1))
+    ]
+    reports = [sorted(map(tuple, o["report"].collect())) for o in outs]
+    assert reports[0] == reports[1] == reports[2]
+    kept = [sorted(r.conv for r in o["kept"].select("conv").distinct().collect())
+            for o in outs]
+    assert kept[0] == kept[1] == kept[2]
+
+
 def test_transcript_job_cli(spark, tmp_path):
     import json
     import sys
