@@ -3758,10 +3758,11 @@ thr AS (
   FROM cum GROUP BY 1
 )
 SELECT sl.doc_id, sl.lang, sl.nll AS unigram_nll,
-       CASE WHEN sl.nll <= thr.t0 THEN 'head'
+       CASE WHEN sl.lang IS NULL THEN NULL
+            WHEN sl.nll <= thr.t0 THEN 'head'
             WHEN sl.nll <= thr.t1 THEN 'middle'
             ELSE 'tail' END AS bucket
-FROM sl JOIN thr USING (lang)
+FROM sl LEFT JOIN thr USING (lang)
 """,
         "boilerplate_words": """
 WITH u AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),

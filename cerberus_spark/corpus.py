@@ -60,8 +60,11 @@ def clean_corpus(
     ``bucket_<name>``.  Keys: ``group_col`` (e.g. ``"lang"``; None =
     global thresholds), ``keep_buckets`` (default ``("head",
     "middle")``), ``cuts_permille`` / ``labels`` (default thirds),
-    ``vocab_size`` (caps the LM's broadcast table), ``model``
-    (``"unigram"`` default, or ``"bigram"`` for the context-aware
+    ``vocab_size`` (caps the LM's broadcast unigram table),
+    ``bigram_size`` (caps the broadcast bigram table — REQUIRED for
+    web-scale bigram runs: the distinct-bigram set is roughly
+    corpus-sized uncapped), ``model`` (``"unigram"`` default, or
+    ``"bigram"`` for the context-aware
     interpolated score).  Documents the LM
     cannot score (no tokens) are KEPT — drops require positive
     evidence.  Runs only on dedup survivors: two capped count shuffles
@@ -207,7 +210,10 @@ def clean_corpus(
         cuts = tuple(lf.pop("cuts_permille", (333, 667)))
         labels = tuple(lf.pop("labels", ("head", "middle", "tail")))
         vocab_size = lf.pop("vocab_size", None)
+        bigram_size = lf.pop("bigram_size", None)
         model = lf.pop("model", "unigram")
+        if model != "bigram" and bigram_size is not None:
+            raise ValueError("lm_filter bigram_size requires model='bigram'")
         if lf:
             raise ValueError(f"unknown lm_filter keys: {sorted(lf)}")
         if not set(keep_buckets) <= set(labels):
@@ -226,7 +232,8 @@ def clean_corpus(
             from cerberus_spark.functions.text import bigram_logprob_scores
 
             scores = bigram_logprob_scores(
-                kept, text_col, id_col, vocab_size=vocab_size
+                kept, text_col, id_col,
+                vocab_size=vocab_size, bigram_size=bigram_size,
             )
             score_col = "bigram_nll"
         else:
@@ -534,9 +541,25 @@ def clean_transcripts(
     return {"kept": kept, "dropped": dropped, "report": report}
 
 
-def ingest_transcript_increment(batch: DataFrame, work_dir: str) -> None:
-    """Incremental-ingest half of the transcript pipeline: append one
-    micro-batch of turns to ``<work_dir>/turns``.
+def ingest_transcript_increment(
+    batch: DataFrame, work_dir: str, batch_id: int | None = None
+) -> None:
+    """Incremental-ingest half of the transcript pipeline: store one
+    micro-batch of turns under ``<work_dir>/turns``.
+
+    With ``batch_id`` (pass foreachBatch's second argument), the batch
+    lands in its own ``batch_id=<n>`` partition directory with
+    OVERWRITE semantics — a foreachBatch retry (at-least-once on
+    failure) rewrites the same directory instead of appending a
+    duplicate copy, so ingest is idempotent per batch.  Unlike the
+    document pipeline (whose exact-dedup stage absorbs duplicated
+    docs), duplicated TURNS corrupt the health gate — two copies of
+    every turn manufacture self-transitions no grammar allows and
+    quarantine every conversation — so transcript ingest must be
+    idempotent, not merely at-least-once.  Without ``batch_id`` the
+    batch appends flat (caller manages retries).
+    :func:`compact_transcripts` drops the ``batch_id`` partition
+    column it induces.
 
     Deliberately storage-only — unlike :func:`ingest_corpus_increment`
     (whose normalize / quality-gate / fingerprint / signature stages
@@ -549,13 +572,20 @@ def ingest_transcript_increment(batch: DataFrame, work_dir: str) -> None:
     bake in batch boundaries and break the replay ≡ batch guarantee,
     so the conversation stages all run in :func:`compact_transcripts`.
 
-    foreachBatch is at-least-once on retry; production appends should
-    be keyed by batchId (idempotent overwrite of a batch partition) —
-    driver restart semantics are sink policy, not pipeline logic.
+    Cross-RUN idempotency (not re-ingesting already-seen input files
+    on the next scheduled run) is the stream's checkpoint's job — pass
+    ``checkpointLocation`` on the writeStream (the CLI job pins it to
+    ``<work_dir>/_checkpoint``).
     """
     import os
 
-    batch.write.mode("append").parquet(os.path.join(work_dir, "turns"))
+    turns = os.path.join(work_dir, "turns")
+    if batch_id is None:
+        batch.write.mode("append").parquet(turns)
+    else:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(turns, f"batch_id={int(batch_id)}")
+        )
 
 
 def compact_transcripts(
@@ -577,10 +607,14 @@ def compact_transcripts(
     cannot influence any conversation-level decision (test:
     ``test_incremental_transcripts_match_batch``).  Run after ingest
     completes (availableNow) or on a schedule (outputs are snapshots
-    of the corpus ingested so far)."""
+    of the corpus ingested so far).  The ``batch_id`` partition column
+    induced by per-batch ingest directories is dropped — it is ingest
+    bookkeeping, not an input column."""
     import os
 
     turns = spark.read.parquet(os.path.join(work_dir, "turns"))
+    if "batch_id" in turns.columns:
+        turns = turns.drop("batch_id")
     return clean_transcripts(
         turns, conv_col, order_cols, state_col, ts_col,
         allowed, allowed_first, **clean_kwargs,

@@ -958,18 +958,32 @@ def sequence_minhash(
     (md5-derived, MINHASH_P modular field — every product < 2^62).
     """
     hashed = _sequence_shingle_hashes(df, key_col, order_cols, token_col, shingle_k)
+    return _sign_shingle_frame(hashed, num_hashes, with_count=True)
+
+
+def _sign_shingle_frame(
+    sh: DataFrame, num_hashes: int, with_count: bool = False
+) -> DataFrame:
+    """(key, sig[, n_shingles]) — MinHash minima over an existing
+    (key, __h) shingle-hash frame.  The ONE home of the signature math
+    (coefficients, MINHASH_P modular field, array assembly), shared by
+    :func:`sequence_minhash` and :func:`sequence_neardup_pairs` so the
+    cross-engine-critical expressions cannot drift between call
+    sites."""
     h = F.col("__h")
-    sig_aggs = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P))).alias(f"__s{j}")
-        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    aggs = [
+        F.min(F.pmod(h * F.lit(ca) + F.lit(cb), F.lit(MINHASH_P))).alias(f"__s{j}")
+        for j, (ca, cb) in enumerate(minhash_coeffs(num_hashes))
     ]
-    return hashed.groupBy("key").agg(
-        *sig_aggs, F.count(F.lit(1)).alias("n_shingles")
-    ).select(
-        "key",
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("n_shingles"))
+    out = [
+        F.col("key"),
         F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"),
-        "n_shingles",
-    )
+    ]
+    if with_count:
+        out.append(F.col("n_shingles"))
+    return sh.groupBy("key").agg(*aggs).select(*out)
 
 
 def sequence_neardup_candidates(
@@ -1053,15 +1067,7 @@ def sequence_neardup_pairs(
     ).distinct()
     if share_shingles:
         sh = sh.localCheckpoint(eager=False)
-    h = F.col("__h")
-    sig_aggs = [
-        F.min(F.pmod(h * F.lit(ca) + F.lit(cb), F.lit(MINHASH_P))).alias(f"__s{j}")
-        for j, (ca, cb) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    sigs = sh.groupBy("key").agg(*sig_aggs).select(
-        "key",
-        F.array(*[F.col(f"__s{j}") for j in range(num_hashes)]).alias("sig"),
-    )
+    sigs = _sign_shingle_frame(sh, num_hashes)
     cand = minhash_dup_candidates(
         sigs, "key", bands, rows_per_band, bucket_cap
     ).select("id_a", "id_b")

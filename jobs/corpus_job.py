@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--lm-model", default="unigram",
                    choices=("unigram", "bigram"),
                    help="bigram = context-aware interpolated score")
+    p.add_argument("--lm-bigram-size", type=int, default=None,
+                   help="cap the bigram model's broadcast pair table "
+                   "(bigram model only; uncapped the distinct-pair set "
+                   "is roughly corpus-sized)")
     p.add_argument("--incremental", action="store_true",
                    help="stream --input via availableNow: per-doc stages run "
                    "per micro-batch into --work-dir, corpus stages run once "
@@ -95,6 +99,8 @@ def main(argv: list[str] | None = None) -> int:
             "vocab_size": args.lm_vocab_size,
             "model": args.lm_model,
         }
+        if args.lm_bigram_size is not None:
+            lm_filter["bigram_size"] = args.lm_bigram_size
     if args.incremental:
         if args.substring_removal:
             p.error("--substring-removal is batch-mode only")

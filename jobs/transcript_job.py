@@ -124,11 +124,18 @@ def main(argv: list[str] | None = None) -> int:
         reader = spark.readStream.schema(turns.schema)
         if args.max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", args.max_files_per_trigger)
+        # checkpoint in the work dir: a re-run (scheduled snapshot mode
+        # or post-crash) resumes from the source offsets instead of
+        # re-ingesting every input file; per-batch batch_id directories
+        # make a foreachBatch RETRY overwrite instead of duplicate —
+        # duplicated turns would quarantine every conversation via
+        # manufactured self-transitions
         q = (
             reader.parquet(args.input)
             .writeStream.foreachBatch(
-                lambda b, _bid: ingest_transcript_increment(b, work)
+                lambda b, bid: ingest_transcript_increment(b, work, bid)
             )
+            .option("checkpointLocation", f"{work}/_checkpoint")
             .trigger(availableNow=True)
             .start()
         )
@@ -160,7 +167,14 @@ def main(argv: list[str] | None = None) -> int:
         f"{r.stage}:{r.reason}": r.n_convs
         for r in rep.orderBy("stage", "reason").collect()
     }
-    n_convs = turns.select(F.col(args.conv_col)).distinct().count()
+    # incremental mode compacts the ACCUMULATED work dir (this run's
+    # --input plus every earlier ingest), so the self-accounting count
+    # must cover the same conversations the report covers
+    if args.incremental:
+        counted = spark.read.parquet(f"{work}/turns")
+    else:
+        counted = turns
+    n_convs = counted.select(F.col(args.conv_col)).distinct().count()
     print(json.dumps({"status": "ok", "n_convs": n_convs, "report": tallies}))
     return 0
 

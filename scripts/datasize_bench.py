@@ -83,6 +83,15 @@ def _steal_snap() -> tuple[int, int]:
 
 def run_size(n_convs: int, runs: int) -> dict:
     data_path = os.path.join(TMP, f"transcripts_{n_convs}")
+    # resume: a completed size leaves a result file — reuse it so a
+    # crash at size N never forces re-measuring sizes 1..N-1
+    result_path = data_path.rstrip("/") + ".result.json"
+    if os.path.exists(result_path):
+        with open(result_path) as f:
+            size = json.load(f)
+        if "steal_pct" in size:
+            size["n_convs"] = n_convs
+            return size
     if not os.path.exists(os.path.join(data_path, "_SUCCESS")):
         # generate in a subprocess so the gateway JVM dies before timing
         subprocess.run(
@@ -102,6 +111,8 @@ def run_size(n_convs: int, runs: int) -> dict:
     size = json.loads(out.stdout.strip().splitlines()[-1])
     size["n_convs"] = n_convs
     size["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    with open(result_path, "w") as f:  # resume-complete record (incl. steal)
+        json.dump(size, f)
     return size
 
 
@@ -135,11 +146,13 @@ in data.  Extrapolation to 10^12 turns at the largest-row rate:
 Generated by `scripts/datasize_bench.py`, recorded {result["recorded"]}.
 {MARK_END}"""
     text = open(path).read()
-    if MARK_BEGIN in text:
+    if MARK_BEGIN in text and MARK_END in text:
         pre = text.split(MARK_BEGIN)[0]
         post = text.split(MARK_END)[1]
         text = pre + section + post
     else:
+        # missing/orphaned markers: append rather than crash after a
+        # multi-hour measurement
         text = text.rstrip() + "\n\n" + section + "\n"
     open(path, "w").write(text)
 

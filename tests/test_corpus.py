@@ -502,17 +502,28 @@ def test_incremental_transcripts_match_batch(spark, tmp_path):
     work = str(tmp_path / "work")
     # 4 files, ordered turns interleaved: every conversation spans files
     df.repartition(4).write.parquet(src)
+    seen = []
     q = (
         spark.readStream.schema(df.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
         .writeStream.foreachBatch(
-            lambda b, _bid: ingest_transcript_increment(b, work)
+            lambda b, bid: (
+                seen.append(bid),
+                ingest_transcript_increment(b, work, bid),
+                # at-least-once RETRY of every batch: the batch_id
+                # overwrite must absorb it (duplicated turns would
+                # manufacture self-transitions and quarantine every
+                # conversation)
+                ingest_transcript_increment(b, work, bid),
+            )
         )
+        .option("checkpointLocation", f"{work}/_checkpoint")
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    assert len(seen) >= 2  # conversations really were split across batches
 
     inc = compact_transcripts(
         spark, work, "conv", ["idx"], "tok", "ts", allowed, **kw
@@ -520,6 +531,8 @@ def test_incremental_transcripts_match_batch(spark, tmp_path):
     assert sorted((r.conv, r.idx) for r in inc["kept"].collect()) == b_kept
     assert {(r.conv, r.stage, r.reason) for r in inc["dropped"].collect()} == b_dropped
     assert {(r.stage, r.reason, r.n_convs) for r in inc["report"].collect()} == b_report
+    # batch_id is ingest bookkeeping, not an input column
+    assert "batch_id" not in inc["kept"].columns
 
 
 def test_transcript_job_cli_incremental(spark, tmp_path):
