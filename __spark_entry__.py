@@ -1163,21 +1163,23 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue %)
-    over one month — broadcast part dim, single-row output, ratio
-    rounded to 4 places (double division noise ~1e-12)."""
+    over one month — broadcast part dim, single-row output.  BOTH sums
+    are rounded to cents BEFORE the division (a raw round(sum/sum, n)
+    can flip on summation-order noise at a rounding boundary; two
+    rounded sums make the division inputs — and therefore the final
+    digit — engine-identical, same discipline as q8)."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
     )
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.round(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))), 2
+    )
+    total = F.round(F.sum(rev), 2)
     return j.agg(
-        F.round(
-            F.lit(100.0)
-            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
-            / F.sum(rev),
-            4,
-        ).alias("promo_pct")
+        F.round(F.lit(100.0) * promo / total, 4).alias("promo_pct")
     )
 
 
@@ -1203,8 +1205,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(avgs), li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < 0.5 * F.col("_avg_qty"))
     )
+    # sum rounded to cents BEFORE /7 so the division input (and the
+    # final half-cent digit) cannot flip on summation-order noise
     return j.agg(
-        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        F.round(F.round(F.sum("l_extendedprice"), 2) / 7.0, 2).alias("avg_yearly")
     )
 
 
@@ -4099,16 +4103,16 @@ WHERE part_value > (SELECT round(1.2 * avg(part_value), 2) FROM p)
 """,
         "q14_promo_revenue": """
 SELECT round(
-  100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                   THEN l.l_extendedprice * (1 - l.l_discount)
-                   ELSE 0.0 END)
-        / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct
+  100.0 * round(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.l_extendedprice * (1 - l.l_discount)
+                         ELSE 0.0 END), 2)
+        / round(sum(l.l_extendedprice * (1 - l.l_discount)), 2), 4) AS promo_pct
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-03-01'
   AND l.l_shipdate <  TIMESTAMP '1997-04-01'
 """,
         "q17_small_quantity_revenue": """
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(round(sum(l.l_extendedprice), 2) / 7.0, 2) AS avg_yearly
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE p.p_brand = 'Brand#3' AND p.p_type = 'SMALL'

@@ -783,6 +783,11 @@ def sequence_fingerprints(
     mode per corpus (dup groups are identical either way, proven in
     tests).
     """
+    if chunk_size is not None and chunk_size < 1:
+        # loud, not degenerate: chunk_size=0 would NULL the integer
+        # division and collapse every key into ONE unbounded chunk —
+        # the exact buffer the parameter exists to bound
+        raise ValueError(f"chunk_size must be >= 1, got {chunk_size}")
     tok = F.coalesce(F.col(token_col).cast("string"), F.lit("")).alias("__tok")
     if chunk_size is None:
         order_struct = F.struct(*[F.col(c) for c in order_cols], tok)

@@ -32,10 +32,20 @@ algorithms (GraphX/GraphFrames do the same internally).  Two modes:
 
 from __future__ import annotations
 
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: SparkContext.setCheckpointDir is context-GLOBAL: the (set dir ->
+#: eager checkpoint) pair below must not interleave across threads, or
+#: one call's checkpoint files land under (and are later reclaimed
+#: with) another call's namespace.  The lock serializes checkpoint
+#: MATERIALIZATIONS across concurrent connected_components calls in
+#: reliable mode — each checkpoint is eager, so files are complete and
+#: the directory tag is consistent before the lock releases.
+_CKPT_DIR_LOCK = threading.Lock()
 
 
 def _hadoop_rm(spark, path: str) -> None:
@@ -112,8 +122,11 @@ def connected_components(
         if ns is None:
             return df.localCheckpoint(), None
         sub = f"{ns}/{tag}"
-        spark.sparkContext.setCheckpointDir(sub)
-        return df.checkpoint(), sub  # eager: files are complete on return
+        with _CKPT_DIR_LOCK:  # see lock comment: global-dir set + eager
+            # checkpoint must be atomic w.r.t. concurrent invocations
+            spark.sparkContext.setCheckpointDir(sub)
+            out = df.checkpoint()  # eager: files complete on return
+        return out, sub
 
     def _drop_stale_labels() -> None:
         # keep only the newest label checkpoint (the current `labels`);

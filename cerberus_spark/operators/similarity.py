@@ -193,11 +193,17 @@ def train_centroids(
     stays :func:`ivf_assign`'s broadcast equi-join).  Every step is
     deterministic across partitionings and runs, with no RNG:
 
-    1. sample = global top-``sample_size`` rows by (md5(id), id) —
-       a deterministic pseudo-random SET (TakeOrderedAndProject:
-       per-partition top-N then merge, never a full sort shuffle);
-    2. rows are collected and processed in id-sorted order, unit-
-       normalized (spherical k-means — the cosine objective);
+    1. sample = global top-``sample_size`` rows by (md5(id), id,
+       vector) — a deterministic pseudo-random SET
+       (TakeOrderedAndProject: per-partition top-N then merge, never a
+       full sort shuffle).  The vector is the FINAL tiebreak so the
+       sample is a total order even when ``id_col`` is not unique
+       (duplicate ids straddling the limit boundary would otherwise
+       pick partition-dependent winners); rows identical in (id,
+       vector) are interchangeable, so determinism survives any
+       duplication;
+    2. rows are collected and processed in (id, vector)-sorted order,
+       unit-normalized (spherical k-means — the cosine objective);
     3. init = farthest-point (maxmin k-center): first centroid is the
        min-id sample vector, each next the point with the smallest
        ROUNDED max-cosine to the chosen set, ties to min id;
@@ -218,11 +224,15 @@ def train_centroids(
     sample_rows = (
         vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .filter(F.col("v").isNotNull())
-        .orderBy(md5_i64(F.col("id").cast("string")).asc(), F.col("id").asc())
+        .orderBy(
+            md5_i64(F.col("id").cast("string")).asc(),
+            F.col("id").asc(),
+            F.col("v").asc(),
+        )
         .limit(sample_size)
         .collect()
     )
-    sample_rows.sort(key=lambda r: r.id)
+    sample_rows.sort(key=lambda r: (r.id, tuple(r.v)))
     if not sample_rows:
         raise ValueError("train_centroids: no non-null, non-zero sample vectors")
     mat = np.asarray([r.v for r in sample_rows], dtype=np.float64)

@@ -75,10 +75,8 @@ def _run_size_inprocess(data_path: str, runs: int) -> dict:
     }
 
 
-def _steal_snap() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        vals = list(map(int, f.readline().split()[1:]))
-    return vals[7], sum(vals)
+# one steal-sampling methodology repo-wide: bench.py owns it
+from bench import read_cpu_ticks, steal_pct  # noqa: E402
 
 
 def run_size(n_convs: int, runs: int) -> dict:
@@ -99,7 +97,7 @@ def run_size(n_convs: int, runs: int) -> dict:
              str(n_convs), data_path],
             check=True,
         )
-    s0, t0 = _steal_snap()
+    t0 = read_cpu_ticks()
     out = subprocess.run(
         ["taskset", "-c", f"0-{CORES - 1}", sys.executable,
          os.path.abspath(__file__), "--size", data_path, str(runs)],
@@ -107,10 +105,10 @@ def run_size(n_convs: int, runs: int) -> dict:
         text=True,
         check=True,
     )
-    s1, t1 = _steal_snap()
+    t1 = read_cpu_ticks()
     size = json.loads(out.stdout.strip().splitlines()[-1])
     size["n_convs"] = n_convs
-    size["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    size["steal_pct"] = steal_pct(t0, t1)
     with open(result_path, "w") as f:  # resume-complete record (incl. steal)
         json.dump(size, f)
     return size

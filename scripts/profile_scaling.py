@@ -33,9 +33,7 @@ def main() -> None:
     shm_local = "--shm-local" in sys.argv
     runs = 3
 
-    def steal_snap():
-        v = list(map(int, open("/proc/stat").readline().split()[1:]))
-        return v[7], sum(v)
+    from bench import read_cpu_ticks, steal_pct  # repo-wide methodology
 
     from pyspark.sql import functions as F
 
@@ -73,12 +71,11 @@ def main() -> None:
         fn()
         ts, steals = [], []
         for _ in range(runs):
-            s0, tt0 = steal_snap()
+            tk0 = read_cpu_ticks()
             t0 = time.perf_counter()
             fn()
             ts.append(round(time.perf_counter() - t0, 3))
-            s1, tt1 = steal_snap()
-            steals.append(round(100.0 * (s1 - s0) / max(tt1 - tt0, 1), 2))
+            steals.append(steal_pct(tk0, read_cpu_ticks()))
         stages[name] = min(ts)
         print(json.dumps({"stage": name, "best": min(ts), "runs": ts,
                           "steal": steals}), flush=True)

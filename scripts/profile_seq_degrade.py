@@ -17,9 +17,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def steal_snap():
-    v = list(map(int, open("/proc/stat").readline().split()[1:]))
-    return v[7], sum(v)
+# one steal-sampling methodology repo-wide: bench.py owns it
+from bench import read_cpu_ticks, steal_pct  # noqa: E402
 
 
 def disk_snap():
@@ -68,16 +67,15 @@ def main() -> None:
 
     seq = sequence_violation_rows(df)
     for i in range(8):
-        s0, t0 = steal_snap()
+        tk0 = read_cpu_ticks()
         d0 = disk_snap()
         w0 = time.perf_counter()
         materialize(seq)
         wall = round(time.perf_counter() - w0, 3)
-        s1, t1 = steal_snap()
         d1 = disk_snap()
         print(json.dumps({
             "run": i, "wall": wall,
-            "steal": round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2),
+            "steal": steal_pct(tk0, read_cpu_ticks()),
             "disk_mb_written": round((d1 - d0) * 512 / 1e6, 1),
         }), flush=True)
     spark.stop()

@@ -107,10 +107,8 @@ def _run_level_inprocess(parallelism: int, data_path: str, runs: int = 7) -> dic
     }
 
 
-def _steal_snap() -> tuple[int, int]:
-    with open("/proc/stat") as f:
-        vals = list(map(int, f.readline().split()[1:]))
-    return vals[7], sum(vals)  # (steal jiffies, total jiffies)
+# one steal-sampling methodology repo-wide: bench.py owns it
+from bench import read_cpu_ticks, steal_pct  # noqa: E402
 
 
 def run_level(parallelism: int, data_path: str) -> dict:
@@ -120,7 +118,7 @@ def run_level(parallelism: int, data_path: str) -> dict:
     hypervisor steal%% over the level's lifetime is recorded so the
     written result carries its own measurement-weather evidence."""
     cpu_list = f"0-{parallelism - 1}"
-    s0, t0 = _steal_snap()
+    t0 = read_cpu_ticks()
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, os.path.abspath(__file__),
          "--level", str(parallelism), data_path],
@@ -128,9 +126,9 @@ def run_level(parallelism: int, data_path: str) -> dict:
         text=True,
         check=True,
     )
-    s1, t1 = _steal_snap()
+    t1 = read_cpu_ticks()
     level = json.loads(out.stdout.strip().splitlines()[-1])
-    level["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    level["steal_pct"] = steal_pct(t0, t1)
     return level
 
 

@@ -367,6 +367,18 @@ def test_sequence_dup_groups_chunked_parity(spark):
     assert groups(100) == expect
 
 
+def test_sequence_fingerprints_chunk_size_guard(spark):
+    """chunk_size < 1 must raise loudly: chunk_size=0 would NULL the
+    integer division and collapse every key into one unbounded chunk —
+    the exact buffer the parameter exists to bound."""
+    from cerberus_spark.operators.dedup import sequence_fingerprints
+
+    df = spark.createDataFrame([("A", 1, "x")], "key string, pos int, tok string")
+    for bad in (0, -3):
+        with pytest.raises(ValueError, match="chunk_size"):
+            sequence_fingerprints(df, "key", ["pos"], "tok", chunk_size=bad)
+
+
 def test_sequence_fingerprints_chunked_boundedness(spark):
     """The degenerate input the chunked fold exists for: ONE
     million-turn conversation.  No reducer may buffer the whole
