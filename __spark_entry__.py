@@ -1151,8 +1151,13 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = li.groupBy("l_partkey").agg(
         F.round(F.sum("l_extendedprice"), 2).alias("part_value")
     )
+    # threshold from (sum rounded to cents)/count — division inputs
+    # engine-identical, so the boundary digit cannot flip on
+    # summation-order noise (same discipline as q8/q14/q17/q22)
     total = per.agg(
-        F.round(F.lit(1.2) * F.avg("part_value"), 2).alias("_threshold")
+        F.round(
+            F.lit(1.2) * F.round(F.sum("part_value"), 2) / F.count(F.lit(1)), 2
+        ).alias("_threshold")
     )
     return (
         per.crossJoin(F.broadcast(total))
@@ -1266,8 +1271,13 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
+    # avg via (sum rounded to cents) / count: both division inputs are
+    # engine-identical, so the threshold digit cannot flip on
+    # summation-order noise (same discipline as q8/q14/q17)
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.round(F.avg("c_acctbal"), 4).alias("_avg_bal")
+        F.round(
+            F.round(F.sum("c_acctbal"), 2) / F.count(F.lit(1)), 4
+        ).alias("_avg_bal")
     )
     orders = (
         _t(spark, sf_dir, "orders")
@@ -4099,7 +4109,9 @@ WITH p AS (
   FROM lineitem GROUP BY l_partkey
 )
 SELECT l_partkey, part_value FROM p
-WHERE part_value > (SELECT round(1.2 * avg(part_value), 2) FROM p)
+WHERE part_value > (
+  SELECT round(1.2 * round(sum(part_value), 2) / count(*), 2) FROM p
+)
 """,
         "q14_promo_revenue": """
 SELECT round(
@@ -4149,7 +4161,8 @@ SELECT c_mktsegment, count(*)::BIGINT AS numcust,
        round(sum(c_acctbal), 2) AS totacctbal
 FROM customer c
 WHERE c.c_acctbal > (
-    SELECT round(avg(c_acctbal), 4) FROM customer WHERE c_acctbal > 0.0
+    SELECT round(round(sum(c_acctbal), 2) / count(*), 4)
+    FROM customer WHERE c_acctbal > 0.0
   )
   AND NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
