@@ -400,6 +400,63 @@ def test_clean_transcripts_survivor_policy_longest(spark):
                           survivor_policy="best", **kw)
 
 
+def test_clean_transcripts_self_accounting_property(spark):
+    """Hypothesis: on ARBITRARY corpora and transition grammars the
+    report is always self-accounting — distinct unhealthy convs +
+    cluster losers + kept survivors == |convs| — and the kept/dropped
+    partitions never overlap or lose turns."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from cerberus_spark.corpus import clean_transcripts
+
+    T0 = dt.datetime(2026, 1, 1)
+    toks = st.sampled_from(["a", "b", "c"])
+    convs = st.lists(  # 1..6 conversations of 1..8 turns each
+        st.lists(toks, min_size=1, max_size=8), min_size=1, max_size=6
+    )
+    grammars = st.sets(
+        st.tuples(toks, toks), min_size=0, max_size=9
+    )
+    firsts = st.one_of(st.none(), st.sets(toks, min_size=0, max_size=3))
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture,
+                               HealthCheck.too_slow],
+    )
+    @given(corpus=convs, allowed=grammars, first=firsts)
+    def check(corpus, allowed, first):
+        rows = [
+            (f"c{ci}", ti, tok, T0 + dt.timedelta(minutes=ti))
+            for ci, conv in enumerate(corpus)
+            for ti, tok in enumerate(conv)
+        ]
+        df = spark.createDataFrame(
+            rows, "conv string, idx int, tok string, ts timestamp"
+        )
+        out = clean_transcripts(
+            df, "conv", ["idx"], "tok", "ts", allowed, first,
+            bucket_cap=8, threshold=0.5,
+        )
+        dropped = [(r.conv, r.stage) for r in out["dropped"].collect()]
+        kept_convs = {r.conv for r in out["kept"].select("conv").distinct().collect()}
+        n_unhealthy = len({c for c, s in dropped if s == "health"})
+        n_losers = len({c for c, s in dropped if s == "near_dup"})
+        assert n_unhealthy + n_losers + len(kept_convs) == len(corpus)
+        assert kept_convs.isdisjoint({c for c, _ in dropped})
+        # kept turns are exactly the original turns of surviving convs
+        n_kept_turns = out["kept"].count()
+        assert n_kept_turns == sum(
+            len(corpus[int(c[1:])]) for c in kept_convs
+        )
+
+    check()
+
+
 def test_clean_transcripts_partition_invariance(spark):
     """The full composition (health window -> shared-shingle near-dedup
     -> checkpointed verdicts) must produce identical reports and
