@@ -35,7 +35,6 @@ from cerberus_spark.operators.dedup import (
     minhash_dup_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
-    simhash64,
 )
 from cerberus_spark.operators.similarity import cosine_topk
 from cerberus_spark.operators.topk import top_k_per_group
@@ -792,38 +791,49 @@ def q_cosine_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Structured Streaming path: the SAME compiled rule set applied to
-    a readStream over the events table (availableNow -> memory sink),
-    then violation counts — results must equal the batch/SQL oracle.
-    Proves rule compilation is plan-mode agnostic (W1/W2 analog)."""
+def _stream_events_to_memory(spark, sf_dir, transform, output_mode):
+    """availableNow replay of the events table through ``transform``
+    into a uniquely-named memory sink; returns the sink table.  The
+    ONE home of the streaming scaffolding (schema probe, the
+    pathGlobFilter dir-source trick — file streams need a directory
+    source — and the trigger) shared by the three stream pairs, so a
+    source-layout or trigger change lands in one place."""
     import uuid
 
-    from cerberus_spark.streaming.validate_stream import validate_stream
-
-    name = f"sv_{uuid.uuid4().hex[:8]}"
+    name = f"st_{uuid.uuid4().hex[:8]}"
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # file streams need a directory source: stream the sf dir filtered
-    # down to the events file
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    annotated = validate_stream(stream, EVENT_RULES)
-    per_row = annotated.select(F.explode(F.col("_violations")).alias("v")).select(
-        F.col("v.field").alias("field"), F.col("v.rule").alias("rule")
-    )
     q = (
-        per_row.writeStream.outputMode("append")
+        transform(stream)
+        .writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    return spark.table(name)
+
+
+def q_stream_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming path: the SAME compiled rule set applied to
+    a readStream over the events table (availableNow -> memory sink),
+    then violation counts — results must equal the batch/SQL oracle.
+    Proves rule compilation is plan-mode agnostic (W1/W2 analog)."""
+    from cerberus_spark.streaming.validate_stream import validate_stream
+
+    def per_row(stream):
+        annotated = validate_stream(stream, EVENT_RULES)
+        return annotated.select(
+            F.explode(F.col("_violations")).alias("v")
+        ).select(F.col("v.field").alias("field"), F.col("v.rule").alias("rule"))
+
     return (
-        spark.table(name)
+        _stream_events_to_memory(spark, sf_dir, per_row, "append")
         .groupBy("field", "rule")
         .agg(F.count(F.lit(1)).alias("n_violations"))
     )
@@ -1933,27 +1943,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling via watermarks is exercised in streaming/validate_stream
     (test_streaming_dedup); complete mode here keeps replay results
     exact."""
-    import uuid
-
-    name = f"st_{uuid.uuid4().hex[:8]}"
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    agg = stream.groupBy(
+    agg = lambda stream: stream.groupBy(  # noqa: E731
         F.window(F.col("ts"), "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _stream_events_to_memory(spark, sf_dir, agg, "complete").select(
         F.col("w.start").alias("hour"), "event_type", "n_events"
     )
 
@@ -1965,27 +1958,10 @@ def q_stream_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as in batch, so the offset-UNNEST SQL oracle must match
     bit-for-bit.  (q_hopping_counts is the batch twin; the two share
     window arithmetic by construction.)"""
-    import uuid
-
-    name = f"sh_{uuid.uuid4().hex[:8]}"
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    agg = stream.groupBy(
+    agg = lambda stream: stream.groupBy(  # noqa: E731
         F.window(F.col("ts"), "1 hour", "15 minutes").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name).select(
+    return _stream_events_to_memory(spark, sf_dir, agg, "complete").select(
         F.col("w.start").alias("win_start"), "event_type", "n_events"
     )
 
@@ -3419,9 +3395,18 @@ UNION ALL
 SELECT event_id, 'vnum', 'noneof' FROM base WHERE vnum IN (13, 17)
 """,
         "validate_nested": """
+-- p_present mirrors Spark's p = CASE WHEN event_type <> 'purchase'
+-- THEN from_json(props) END exactly: from_json returns NULL only for
+-- NULL input (malformed JSON yields a struct of NULL fields — probed
+-- on this Spark version), so p is NULL — and the TOP-LEVEL required
+-- rule fires, suppressing the nested p.k rules — when event_type is
+-- NULL/'purchase' OR props is NULL.  Without the props IS NOT NULL
+-- conjunct a NULL-props row would diverge: Spark ('p','required')
+-- vs oracle ('p.k','required').
 WITH base AS (
   SELECT event_id,
-         CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END AS p_present,
+         CASE WHEN event_type <> 'purchase' AND props IS NOT NULL
+              THEN 1 ELSE 0 END AS p_present,
          TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
   FROM events
 )

@@ -194,3 +194,51 @@ def test_no_exact_session_gap_boundary_in_testdata():
                   FROM '{p}') WHERE d = 1800"""
         ).fetchone()[0]
         assert n == 0, f"{sf}: {n} exact-1800s gaps break the shared oracle"
+
+
+def test_validate_nested_pair_null_props_parity(spark, tmp_path):
+    """Cross-engine parity of the validate_nested contract pair on the
+    NULL/malformed-props paths the shipped testdata never exercises:
+    Spark's from_json returns NULL only for NULL input (malformed JSON
+    yields a struct of NULL fields), so a NULL-props non-purchase row
+    must fire the TOP-LEVEL ('p','required') — not ('p.k','required')
+    — in BOTH engines.  Regression for the oracle's p_present proxy."""
+    import datetime as dt
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    T0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, T0, 10, "view", 1.0, '{"k": 42}'),       # healthy nested k
+        (2, T0, 10, "view", 1.0, None),              # NULL props -> ('p','required')
+        (3, T0, 10, "purchase", 1.0, '{"k": 42}'),   # p nulled by design
+        (4, T0, 10, None, 1.0, '{"k": 42}'),         # NULL event_type
+        (5, T0, 10, "view", 1.0, '{"k": 2}'),        # nested min
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/events.parquet")
+
+    got = sorted(
+        (r.event_id, r.field, r.rule)
+        for r in entry.queries()["validate_nested"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet/*.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[2])
+        for r in con.execute(entry.oracle_sql()["validate_nested"]).fetchall()
+    )
+    assert got == want, (got, want)
+    assert (2, "p", "required") in got      # the latent path, now pinned
+    assert (2, "p.k", "required") not in got
