@@ -242,3 +242,43 @@ def test_validate_nested_pair_null_props_parity(spark, tmp_path):
     assert got == want, (got, want)
     assert (2, "p", "required") in got      # the latent path, now pinned
     assert (2, "p.k", "required") not in got
+
+
+def test_perplexity_buckets_pair_null_lang_parity(spark, tmp_path):
+    """Cross-engine parity of the perplexity_buckets contract pair on
+    the NULL-lang path the shipped testdata never exercises: a
+    NULL-group document must appear WITH a NULL bucket in BOTH engines
+    (quantile_buckets' documented passthrough) — not silently drop out
+    of the oracle via a NULL-blind threshold join."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    rows = [
+        (i, f"w{i % 4} common words here {'x ' * (i % 5)}", "en", "s", 30)
+        for i in range(9)
+    ] + [(9, "common words here too", None, "s", 21)]  # NULL lang
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    got = sorted(
+        (r.doc_id, r.lang, r.bucket)
+        for r in entry.queries()["perplexity_buckets"](spark, sf_dir).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = sorted(
+        (r[0], r[1], r[3])
+        for r in con.execute(entry.oracle_sql()["perplexity_buckets"]).fetchall()
+    )
+    assert got == want, (got, want)
+    null_rows = [(d, l, b) for d, l, b in got if l is None]
+    assert null_rows == [(9, None, None)]  # present, unbucketed — both engines
